@@ -1,0 +1,326 @@
+"""Standalone sketch tests: accuracy within published bounds, merge
+associativity under permuted merge order, serialization round-trips.
+
+Mirrors the reference's operator-level incremental test strategy
+(SURVEY.md §5; e.g. tsv-summarize.d:2865-2874) translated to the
+distributed setting: instead of per-row incremental goldens, we assert
+that (a) estimates track exact answers within each sketch's bound and
+(b) any partition/merge order yields the same answer (within bound).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from tsv_utils_spark.sketches import (
+    BloomFilter,
+    CountMin,
+    HyperLogLog,
+    KLL,
+    MinHash,
+    TDigest,
+)
+from tsv_utils_spark.sketches.hashing import hash64
+from tsv_utils_spark.sketches.minhash import (
+    band_keys,
+    estimate_jaccard,
+    jaccard_exact,
+    shingles,
+    signature,
+)
+from tsv_utils_spark.sketches.simhash import hamming64, simhash_batch
+
+RNG = np.random.default_rng(42)
+
+
+# --------------------------------------------------------------------- HLL
+class TestHLL:
+    def test_sparse_exact(self):
+        h = HyperLogLog(p=12)
+        vals = np.asarray([f"v{i}" for i in range(1000)], dtype=object)
+        h.update(vals)
+        h.update(vals[:500])  # duplicates
+        assert h.estimate() == 1000.0
+
+    def test_dense_within_bound(self):
+        p = 12
+        h = HyperLogLog(p=p, sparse_limit=10)
+        n = 200_000
+        h.update(np.arange(n))
+        err = abs(h.estimate() - n) / n
+        assert err < 4 * 1.04 / np.sqrt(1 << p)  # 4 sigma
+
+    def test_merge_associative_exact_sparse(self):
+        parts = [np.arange(i * 100, i * 100 + 150) for i in range(4)]
+        for perm in itertools.permutations(range(4)):
+            h = HyperLogLog(p=12)
+            for i in perm:
+                o = HyperLogLog(p=12)
+                o.update(parts[i])
+                h.merge(o)
+            assert h.estimate() == 450.0  # 0..449 distinct
+
+    def test_merge_order_invariant_dense(self):
+        parts = [RNG.integers(0, 50_000, 60_000) for _ in range(5)]
+        ests = []
+        for perm in itertools.permutations(range(5)):
+            h = HyperLogLog(p=10, sparse_limit=8)
+            for i in perm:
+                o = HyperLogLog(p=10, sparse_limit=8)
+                o.update(parts[i])
+                h.merge(o)
+            ests.append(h.estimate())
+        assert len(set(ests)) == 1  # dense max-merge is exactly order-invariant
+
+    def test_mixed_sparse_dense_merge(self):
+        big = HyperLogLog(p=10, sparse_limit=8)
+        big.update(np.arange(10_000))
+        small = HyperLogLog(p=10, sparse_limit=8)
+        small.update(np.asarray(["a", "b"], dtype=object))
+        est = HyperLogLog.deserialize(big.serialize()).merge(small).estimate()
+        assert abs(est - 10_002) / 10_002 < 4 * 1.04 / np.sqrt(1 << 10)
+
+    def test_serde(self):
+        h = HyperLogLog(p=14)
+        h.update(np.arange(100))
+        h2 = HyperLogLog.deserialize(h.serialize())
+        assert h2.estimate() == h.estimate() == 100.0
+        h.update(np.arange(50_000))  # force dense
+        h3 = HyperLogLog.deserialize(h.serialize())
+        assert h3.estimate() == h.estimate()
+
+
+# --------------------------------------------------------------------- KLL
+class TestKLL:
+    def test_exact_small(self):
+        k = KLL(k=200)
+        data = RNG.normal(size=150)
+        k.update(data)
+        assert k.quantile(0.5) == pytest.approx(np.quantile(data, 0.5))
+        assert k.quantile(0.25) == pytest.approx(np.quantile(data, 0.25))
+
+    def test_rank_error_bound(self):
+        k = KLL(k=200)
+        n = 100_000
+        data = RNG.exponential(size=n)
+        for chunk in np.array_split(data, 20):
+            k.update(chunk)
+        s = np.sort(data)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = k.quantile(q)
+            true_rank = np.searchsorted(s, est) / n
+            assert abs(true_rank - q) <= max(k.rank_error() * 3, 0.01), q
+
+    def test_merge_within_bound_any_order(self):
+        n = 40_000
+        data = RNG.normal(size=n)
+        parts = np.array_split(data, 4)
+        s = np.sort(data)
+        for perm in itertools.permutations(range(4)):
+            k = KLL(k=200)
+            for i in perm:
+                o = KLL(k=200)
+                o.update(parts[i])
+                k.merge(o)
+            est = k.quantile(0.5)
+            true_rank = np.searchsorted(s, est) / n
+            assert abs(true_rank - 0.5) <= max(3 * k.rank_error(), 0.01)
+
+    def test_serde(self):
+        k = KLL(k=128)
+        k.update(RNG.normal(size=10_000))
+        k2 = KLL.deserialize(k.serialize())
+        assert k2.n == k.n
+        assert k2.quantile(0.9) == k.quantile(0.9)
+
+    def test_nan_ignored(self):
+        k = KLL()
+        k.update(np.asarray([1.0, np.nan, 3.0]))
+        assert k.n == 2
+
+
+# ----------------------------------------------------------------- TDigest
+class TestTDigest:
+    def test_exact_small(self):
+        t = TDigest(delta=200)
+        data = RNG.normal(size=150)
+        t.update(data)
+        assert t.quantile(0.5) == pytest.approx(np.quantile(data, 0.5))
+
+    def test_rank_error_bound(self):
+        t = TDigest(delta=200)
+        n = 100_000
+        data = RNG.lognormal(size=n)
+        for chunk in np.array_split(data, 25):
+            t.update(chunk)
+        s = np.sort(data)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = t.quantile(q)
+            true_rank = np.searchsorted(s, est) / n
+            assert abs(true_rank - q) <= max(3 * t.rank_error(q), 0.005), q
+
+    def test_merge_any_order_within_bound(self):
+        n = 60_000
+        data = RNG.normal(size=n)
+        parts = np.array_split(data, 4)
+        s = np.sort(data)
+        for perm in itertools.permutations(range(4)):
+            t = TDigest(delta=200)
+            for i in perm:
+                o = TDigest(delta=200)
+                o.update(parts[i])
+                t.merge(o)
+            est = t.quantile(0.5)
+            true_rank = np.searchsorted(s, est) / n
+            assert abs(true_rank - 0.5) <= max(3 * t.rank_error(0.5), 0.005)
+
+    def test_bounded_size(self):
+        t = TDigest(delta=100)
+        for _ in range(50):
+            t.update(RNG.normal(size=10_000))
+        assert t.means.size <= 2 * 100  # centroids bounded ~delta
+
+    def test_serde(self):
+        t = TDigest()
+        t.update(RNG.normal(size=5_000))
+        t2 = TDigest.deserialize(t.serialize())
+        assert t2.quantile(0.5) == t.quantile(0.5)
+
+
+# ---------------------------------------------------------------- CountMin
+class TestCountMin:
+    def test_point_exact_low_card(self):
+        cm = CountMin(depth=5, width=1 << 14)
+        vals = np.asarray(["a"] * 500 + ["b"] * 300 + ["c"] * 7, dtype=object)
+        cm.update(vals)
+        assert cm.count("a") == 500
+        assert cm.count("b") == 300
+        assert cm.count("c") == 7
+        assert cm.mode() == ("a", 500)
+
+    def test_overestimate_bound(self):
+        cm = CountMin(depth=5, width=1 << 12)
+        zipf = RNG.zipf(1.5, size=50_000)
+        zipf = zipf[zipf < 10_000]
+        cm.update(zipf)
+        uniq, cnt = np.unique(zipf, return_counts=True)
+        est = cm.counts(uniq)
+        # CM never underestimates
+        assert (est >= cnt).all()
+        # eps*N bound with failure prob e^-depth; allow tiny slack
+        viol = (est - cnt) > cm.epsilon * cm.n
+        assert viol.mean() < 0.01
+
+    def test_merge_associative_exact(self):
+        parts = [np.asarray(["x"] * 10 + ["y"] * (i + 1), dtype=object) for i in range(3)]
+        base = None
+        for perm in itertools.permutations(range(3)):
+            cm = CountMin(depth=3, width=1 << 10)
+            for i in perm:
+                o = CountMin(depth=3, width=1 << 10)
+                o.update(parts[i])
+                cm.merge(o)
+            key = (cm.count("x"), cm.count("y"))
+            base = base or key
+            assert key == base == (30, 6)
+
+    def test_serde(self):
+        cm = CountMin()
+        cm.update(np.asarray(["m"] * 42, dtype=object))
+        cm2 = CountMin.deserialize(cm.serialize())
+        assert cm2.count("m") == 42
+        assert cm2.mode() == ("m", 42)
+
+
+# ------------------------------------------------------------------- Bloom
+class TestBloom:
+    def test_no_false_negatives(self):
+        b = BloomFilter.from_capacity(10_000, fpr=0.01)
+        vals = np.asarray([f"k{i}" for i in range(10_000)], dtype=object)
+        b.update(vals)
+        assert b.contains(vals).all()
+
+    def test_fpr_within_bound(self):
+        b = BloomFilter.from_capacity(10_000, fpr=0.01)
+        b.update(np.asarray([f"k{i}" for i in range(10_000)], dtype=object))
+        probe = np.asarray([f"absent{i}" for i in range(20_000)], dtype=object)
+        fpr = b.contains(probe).mean()
+        assert fpr < 0.03  # 3x design FPR slack
+        assert b.expected_fpr < 0.02
+
+    def test_merge_is_union(self):
+        a = BloomFilter(m=1 << 16, k=5)
+        c = BloomFilter(m=1 << 16, k=5)
+        a.update(np.asarray(["a1", "a2"], dtype=object))
+        c.update(np.asarray(["c1"], dtype=object))
+        a.merge(c)
+        assert a.contains(np.asarray(["a1", "a2", "c1"], dtype=object)).all()
+
+    def test_serde(self):
+        b = BloomFilter.from_capacity(100, 0.01)
+        b.update(np.asarray(["q"], dtype=object))
+        b2 = BloomFilter.deserialize(b.serialize())
+        assert b2.contains(np.asarray(["q"], dtype=object)).all()
+        assert (b2.m, b2.k) == (b.m, b.k)
+
+
+# ----------------------------------------------------------- MinHash / LSH
+class TestMinHash:
+    def test_jaccard_estimate(self):
+        toks_a = [f"w{i}" for i in range(100)]
+        toks_b = [f"w{i}" for i in range(20, 120)]  # Jaccard of shingle sets ~2/3
+        sa = signature(shingles(toks_a, 3), k=256)
+        sb = signature(shingles(toks_b, 3), k=256)
+        exact = jaccard_exact(toks_a, toks_b, 3)
+        est = estimate_jaccard(sa, sb)
+        # std err of k=256 MinHash ~ sqrt(j(1-j)/k) ~ 0.03
+        assert abs(est - exact) < 4 * np.sqrt(exact * (1 - exact) / 256)
+
+    def test_identical_docs_collide_in_lsh(self):
+        toks = ["the", "quick", "brown", "fox"] * 10
+        s1 = signature(shingles(toks, 3), k=128)
+        s2 = signature(shingles(list(toks), 3), k=128)
+        assert (band_keys(s1, 16) == band_keys(s2, 16)).all()
+
+    def test_object_lifecycle(self):
+        m1, m2 = MinHash(k=128), MinHash(k=128)
+        m1.update(np.asarray([f"x{i}" for i in range(50)], dtype=object))
+        m2.update(np.asarray([f"x{i}" for i in range(50)], dtype=object))
+        assert m1.jaccard(m2) == 1.0
+        m3 = MinHash.deserialize(m1.serialize())
+        assert m3.jaccard(m1) == 1.0
+
+
+# ----------------------------------------------------------------- SimHash
+class TestSimHash:
+    def test_near_dups_close(self):
+        a = [f"tok{i}" for i in range(200)]
+        b = a[:195] + ["zzz1", "zzz2", "zzz3", "zzz4", "zzz5"]
+        c = [f"other{i}" for i in range(200)]
+        ha, hb, hc = simhash_batch([a, b, c])
+        d_ab = hamming64(np.asarray([ha]), np.asarray([hb]))[0]
+        d_ac = hamming64(np.asarray([ha]), np.asarray([hc]))[0]
+        assert d_ab < 12
+        assert d_ac > 20
+
+    def test_deterministic(self):
+        toks = ["alpha", "beta", "gamma"]
+        assert simhash_batch([toks])[0] == simhash_batch([list(toks)])[0]
+
+
+# ----------------------------------------------------------------- hashing
+class TestHashing:
+    def test_stable_across_dtypes(self):
+        h1 = hash64(np.asarray(["abc", "def"], dtype=object))
+        h2 = hash64(np.asarray(["abc", "def"], dtype=object))
+        assert (h1 == h2).all()
+
+    def test_int_spread(self):
+        h = hash64(np.arange(10_000))
+        # top byte should be near-uniform
+        tops = (h >> np.uint64(56)).astype(np.int64)
+        counts = np.bincount(tops, minlength=256)
+        assert counts.std() / counts.mean() < 0.3

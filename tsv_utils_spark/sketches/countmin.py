@@ -1,0 +1,143 @@
+"""Count-Min sketch + heavy-hitter candidate tracking — mergeable frequency
+sketch for mode / mode-count / heavy-hitter queries.
+
+Replaces the reference's exact in-memory value->count maps
+(``tsv-summarize --mode/--mode-count``, tsv-summarize.d:4016-4185) at
+unbounded cardinality.
+
+- Table: ``depth x width`` int64 counters; width is a power of two.
+- Row hashes are derived from one 64-bit item hash via seeded splitmix
+  re-mixing (pairwise-independent enough in practice; standard CM usage).
+- Guarantee (Cormode & Muthukrishnan 2005): point estimate overestimates
+  true count by at most ``eps * N`` with probability ``1 - delta_fail``,
+  where ``eps = e / width`` and ``delta_fail = exp(-depth)``.
+- Merge: element-wise add (exact-associative).
+- Heavy hitters / mode: CM alone can't enumerate values, so each sketch
+  carries a bounded candidate set (value -> CM estimate), merged by union
+  and re-truncated to ``max_candidates`` by estimated count (Space-Saving
+  flavored). With ``max_candidates`` >= true distinct count the mode is
+  exact up to CM collisions.
+"""
+
+from __future__ import annotations
+
+import pickle
+import struct
+
+import numpy as np
+
+from tsv_utils_spark.sketches.hashing import hash64, splitmix64
+
+
+class CountMin:
+    __slots__ = ("depth", "width", "table", "n", "candidates", "max_candidates")
+
+    def __init__(self, depth: int = 5, width: int = 1 << 16,
+                 max_candidates: int = 256):
+        if width & (width - 1):
+            raise ValueError("width must be a power of two")
+        self.depth = depth
+        self.width = width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.n = 0
+        self.max_candidates = max_candidates
+        self.candidates: dict = {}
+
+    # -- hashing --------------------------------------------------------
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) row indices from item hashes."""
+        idx = np.empty((self.depth, h.size), dtype=np.int64)
+        mask = np.uint64(self.width - 1)
+        for d in range(self.depth):
+            with np.errstate(over="ignore"):
+                hd = splitmix64(h ^ np.uint64(0xA076_1D64_78BD_642F * (d + 1) & 0xFFFFFFFFFFFFFFFF))
+            idx[d] = (hd & mask).astype(np.int64)
+        return idx
+
+    # -- update ---------------------------------------------------------
+    def update(self, values, counts: np.ndarray | None = None) -> None:
+        """Batch update. ``values`` may repeat; pass ``counts`` to add
+        pre-aggregated (value, count) pairs (the map-side-combined path)."""
+        arr = np.asarray(values)
+        if arr.size == 0:
+            return
+        if counts is None:
+            uniq, cnt = np.unique(arr, return_counts=True)
+        else:
+            uniq, cnt = arr, np.asarray(counts, dtype=np.int64)
+        h = hash64(uniq)
+        idx = self._indices(h)
+        for d in range(self.depth):
+            np.add.at(self.table[d], idx[d], cnt)
+        self.n += int(cnt.sum())
+        # track candidates
+        est = self.table[np.arange(self.depth)[:, None], idx].min(axis=0)
+        for v, e in zip(uniq.tolist(), est.tolist()):
+            self.candidates[v] = max(self.candidates.get(v, 0), int(e))
+        self._truncate()
+
+    def _truncate(self) -> None:
+        if len(self.candidates) > self.max_candidates:
+            keep = sorted(self.candidates.items(), key=lambda kv: (-kv[1], str(kv[0])))
+            self.candidates = dict(keep[: self.max_candidates])
+
+    # -- query ----------------------------------------------------------
+    def count(self, value) -> int:
+        h = hash64(np.asarray([value]))
+        idx = self._indices(h)
+        return int(self.table[np.arange(self.depth), idx[:, 0]].min())
+
+    def counts(self, values) -> np.ndarray:
+        arr = np.asarray(values)
+        h = hash64(arr)
+        idx = self._indices(h)
+        return self.table[np.arange(self.depth)[:, None], idx].min(axis=0)
+
+    def heavy_hitters(self, k: int | None = None) -> list[tuple[object, int]]:
+        """Candidates re-scored against the merged table, sorted by
+        (-count, value) — deterministic tie-break on the value itself
+        (the distributed stand-in for the reference's first-seen rule)."""
+        if not self.candidates:
+            return []
+        vals = list(self.candidates.keys())
+        est = self.counts(np.asarray(vals, dtype=object))
+        out = sorted(zip(vals, est.tolist()), key=lambda kv: (-kv[1], str(kv[0])))
+        return out[:k] if k else out
+
+    def mode(self) -> tuple[object, int] | None:
+        hh = self.heavy_hitters(1)
+        return hh[0] if hh else None
+
+    @property
+    def epsilon(self) -> float:
+        """CM overestimate bound factor: err <= e/width * N w.p. 1-exp(-depth)."""
+        return float(np.e / self.width)
+
+    # -- merge / serde --------------------------------------------------
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("CM shape mismatch")
+        self.table += other.table
+        self.n += other.n
+        for v, e in other.candidates.items():
+            self.candidates[v] = max(self.candidates.get(v, 0), e)
+        self._truncate()
+        return self
+
+    def serialize(self) -> bytes:
+        cand = pickle.dumps(self.candidates, protocol=4)
+        head = struct.pack("<IIQII", self.depth, self.width, self.n,
+                           self.max_candidates, len(cand))
+        return head + cand + self.table.tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "CountMin":
+        depth, width, n, mc, clen = struct.unpack_from("<IIQII", blob)
+        off = struct.calcsize("<IIQII")
+        out = cls(depth=depth, width=width, max_candidates=mc)
+        out.n = n
+        out.candidates = pickle.loads(blob[off:off + clen])
+        off += clen
+        out.table = (np.frombuffer(blob, dtype=np.int64, count=depth * width, offset=off)
+                     .reshape(depth, width).copy())
+        return out
