@@ -1,0 +1,349 @@
+"""Exact-operator tests vs independently computed answers (pandas),
+mirroring the reference's golden-vector strategy (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsv_utils_spark.functions.missing import MissingPolicy
+from tsv_utils_spark.operators import (
+    Op,
+    Predicates as P,
+    append_tables,
+    join_filter,
+    sample,
+    select_fields,
+    split_by_key,
+    summarize,
+    tsv_filter,
+    uniq,
+)
+
+
+@pytest.fixture(scope="module")
+def li_pdf(tables):
+    return tables["lineitem"].toPandas()
+
+
+# ------------------------------------------------------------- summarize
+class TestSummarize:
+    def test_grouped_basics(self, tables, li_pdf):
+        out = summarize(
+            tables["lineitem"], ["l_returnflag"],
+            [Op.count(), Op.sum("l_quantity"), Op.mean("l_extendedprice"),
+             Op.min("l_discount"), Op.max("l_discount"),
+             Op.var("l_quantity"), Op.stdev("l_quantity")],
+        ).toPandas().set_index("l_returnflag").sort_index()
+        g = li_pdf.groupby("l_returnflag")
+        assert (out["count"] == g.size()).all()
+        assert np.allclose(out["l_quantity_sum"], g["l_quantity"].sum())
+        assert np.allclose(out["l_extendedprice_mean"], g["l_extendedprice"].mean())
+        assert np.allclose(out["l_quantity_var"], g["l_quantity"].var(ddof=1))
+        assert np.allclose(out["l_quantity_stdev"], g["l_quantity"].std(ddof=1))
+
+    def test_median_quantile_r7(self, tables, li_pdf):
+        out = summarize(
+            tables["lineitem"], ["l_linestatus"],
+            [Op.median("l_extendedprice"),
+             Op.quantile("l_extendedprice", [0.25, 0.75])],
+        ).toPandas().set_index("l_linestatus").sort_index()
+        g = li_pdf.groupby("l_linestatus")["l_extendedprice"]
+        # R-7 interpolation = numpy default 'linear'
+        assert np.allclose(out["l_extendedprice_median"], g.quantile(0.5))
+        assert np.allclose(out["l_extendedprice_pct_0_25"], g.quantile(0.25))
+        assert np.allclose(out["l_extendedprice_pct_0_75"], g.quantile(0.75))
+
+    def test_unique_count_range(self, tables, li_pdf):
+        out = summarize(
+            tables["lineitem"], ["l_returnflag"],
+            [Op.unique_count("l_suppkey"), Op.range("l_quantity")],
+        ).toPandas().set_index("l_returnflag").sort_index()
+        g = li_pdf.groupby("l_returnflag")
+        assert (out["l_suppkey_unique_count"] == g["l_suppkey"].nunique()).all()
+        assert np.allclose(out["l_quantity_range"],
+                           g["l_quantity"].max() - g["l_quantity"].min())
+
+    def test_first_last_by_order(self, tables, li_pdf):
+        out = summarize(
+            tables["orders"], ["o_orderstatus"],
+            [Op.first("o_totalprice"), Op.last("o_totalprice")],
+            order_col="o_orderkey",
+        ).toPandas().set_index("o_orderstatus").sort_index()
+        pdf = tables["orders"].toPandas().sort_values("o_orderkey")
+        g = pdf.groupby("o_orderstatus")["o_totalprice"]
+        assert np.allclose(out["o_totalprice_first"], g.first())
+        assert np.allclose(out["o_totalprice_last"], g.last())
+
+    def test_mode_and_mad(self, tables, li_pdf):
+        out = summarize(
+            tables["lineitem"], ["l_returnflag"],
+            [Op.mode("l_quantity"), Op.mode_count("l_quantity"),
+             Op.mad("l_quantity")],
+        ).toPandas().set_index("l_returnflag").sort_index()
+        for flag, grp in li_pdf.groupby("l_returnflag"):
+            vc = grp["l_quantity"].value_counts()
+            top = vc.max()
+            # our no-order tie-break: min value among max-count
+            expect_mode = min(v for v, c in vc.items() if c == top)
+            assert float(out.loc[flag, "l_quantity_mode"]) == expect_mode
+            assert out.loc[flag, "l_quantity_mode_count"] == top
+            med = grp["l_quantity"].median()
+            assert out.loc[flag, "l_quantity_mad"] == pytest.approx(
+                (grp["l_quantity"] - med).abs().median())
+
+    def test_missing_counts_and_policy(self, spark):
+        pdf = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 2,
+                            "v": ["1", "", "3", "", "5", ""]})
+        df = spark.createDataFrame(pdf)
+        out = summarize(
+            df, ["k"],
+            [Op.missing_count("v"), Op.not_missing_count("v"), Op.sum("v")],
+            missing=MissingPolicy("exclude"),
+        ).toPandas().set_index("k").sort_index()
+        assert out.loc["a", "v_missing_count"] == 2
+        assert out.loc["a", "v_not_missing_count"] == 2
+        assert out.loc["a", "v_sum"] == 4.0  # '' excluded, not 0
+        # replace policy
+        out2 = summarize(df, ["k"], [Op.sum("v")],
+                         missing=MissingPolicy("replace", "10")).toPandas() \
+            .set_index("k").sort_index()
+        assert out2.loc["a", "v_sum"] == 24.0
+
+    def test_min_max_original_string(self, spark):
+        pdf = pd.DataFrame({"k": ["a"] * 3, "v": ["10.0", "9.50", "11"]})
+        df = spark.createDataFrame(pdf)
+        out = summarize(df, ["k"], [Op.min("v", original_string=True),
+                                    Op.max("v", original_string=True)]).toPandas()
+        assert out["v_min"][0] == "9.50"  # original string, not 9.5
+        assert out["v_max"][0] == "11"
+
+    def test_values_unique_values(self, spark):
+        pdf = pd.DataFrame({"k": ["a", "a", "a"], "v": ["z", "m", "z"],
+                            "rid": [1, 2, 3]})
+        df = spark.createDataFrame(pdf)
+        out = summarize(df, ["k"], [Op.values("v"), Op.unique_values("v")],
+                        order_col="rid").toPandas()
+        assert out["v_values"][0] == "z|m|z"  # input order via rid
+        assert out["v_unique_values"][0] == "m|z"  # canonical sorted
+
+    def test_no_group(self, tables, li_pdf):
+        out = summarize(tables["lineitem"], None,
+                        [Op.count(), Op.sum("l_quantity")]).toPandas()
+        assert out["count"][0] == len(li_pdf)
+        assert out["l_quantity_sum"][0] == pytest.approx(li_pdf["l_quantity"].sum())
+
+
+# ---------------------------------------------------------------- filter
+class TestFilter:
+    def test_numeric_and(self, tables, li_pdf):
+        out = tsv_filter(tables["lineitem"],
+                         [P.num("l_quantity", "gt", 30),
+                          P.num("l_extendedprice", "gt", 50_000)])
+        expect = li_pdf[(li_pdf.l_quantity > 30) & (li_pdf.l_extendedprice > 50_000)]
+        assert out.count() == len(expect)
+
+    def test_or_invert_count(self, tables, li_pdf):
+        preds = [P.num("l_discount", "ge", 0.09), P.num("l_tax", "le", 0.01)]
+        n_or = tsv_filter(tables["lineitem"], preds, disjunct=True).count()
+        expect = li_pdf[(li_pdf.l_discount >= 0.09) | (li_pdf.l_tax <= 0.01)]
+        assert n_or == len(expect)
+        n_inv = tsv_filter(tables["lineitem"], preds, disjunct=True,
+                           invert=True).count()
+        assert n_inv == len(li_pdf) - len(expect)
+        cnt = tsv_filter(tables["lineitem"], preds, disjunct=True,
+                         mode="count").toPandas()
+        assert cnt["count"][0] == len(expect)
+
+    def test_string_regex_len(self, tables):
+        parts = tables["part"]
+        ppdf = parts.toPandas()
+        assert tsv_filter(parts, [P.regex("p_name", "^small")]).count() == \
+            ppdf.p_name.str.match("^small").sum()
+        assert tsv_filter(parts, [P.str_in_fld("p_type", "ECO")]).count() == \
+            ppdf.p_type.str.contains("ECO").sum()
+        assert tsv_filter(parts, [P.char_len("p_name", "le", 11)]).count() == \
+            (ppdf.p_name.str.len() <= 11).sum()
+
+    def test_label_mode(self, tables, li_pdf):
+        out = tsv_filter(tables["lineitem"], [P.num("l_quantity", "lt", 10)],
+                         mode="label", label="small").toPandas()
+        assert (out["small"] == "1").sum() == (li_pdf.l_quantity < 10).sum()
+        assert len(out) == len(li_pdf)
+
+    def test_ff_and_blank(self, spark):
+        pdf = pd.DataFrame({"a": ["1", "2", " ", ""],
+                            "b": ["1", "3", "x", "y"]})
+        df = spark.createDataFrame(pdf)
+        assert tsv_filter(df, [P.ff_num("a", "eq", "b")]).count() == 1
+        assert tsv_filter(df, [P.blank("a")]).count() == 2
+        assert tsv_filter(df, [P.empty("a")]).count() == 1
+        assert tsv_filter(df, [P.ff_absdiff_le("a", "b", 1.0)]).count() == 2
+
+    def test_strict_numeric_aborts(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"a": ["1", "x"]}))
+        with pytest.raises(ValueError, match="non-numeric"):
+            tsv_filter(df, [P.num("a", "gt", 0)], strict_numeric_cols=["a"])
+
+
+# ------------------------------------------------------------------ join
+class TestJoin:
+    def test_semi_anti(self, tables):
+        orders, cust = tables["orders"], tables["customer"]
+        building = cust.filter(F.col("c_mktsegment") == "BUILDING")
+        n_semi = join_filter(orders, building, on=["o_custkey"],
+                             data_keys=["o_custkey"], filter_keys=["c_custkey"],
+                             mode="semi").count()
+        n_anti = join_filter(orders, building, data_keys=["o_custkey"],
+                             filter_keys=["c_custkey"], mode="anti").count()
+        opdf = orders.toPandas()
+        keys = set(building.toPandas()["c_custkey"])
+        assert n_semi == opdf.o_custkey.isin(keys).sum()
+        assert n_anti == (~opdf.o_custkey.isin(keys)).sum()
+
+    def test_append_and_writeall(self, tables):
+        orders, cust = tables["orders"], tables["customer"]
+        out = join_filter(orders, cust, data_keys=["o_custkey"],
+                          filter_keys=["c_custkey"], mode="append",
+                          append=["c_mktsegment"]).toPandas()
+        assert "c_mktsegment" in out.columns
+        assert len(out) == orders.count()  # every order has a customer
+        top = cust.filter(F.col("c_custkey") < 10)
+        out2 = join_filter(orders, top, data_keys=["o_custkey"],
+                           filter_keys=["c_custkey"], mode="left",
+                           append=["c_mktsegment"], write_all="NONE").toPandas()
+        assert (out2["c_mktsegment"] == "NONE").sum() == \
+            (out2.shape[0] - (out["o_custkey"] < 10).sum())
+
+    def test_duplicate_key_enforcement(self, spark, tables):
+        dup = spark.createDataFrame(pd.DataFrame(
+            {"k": [1, 1], "v": ["a", "b"]}))
+        data = spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
+        with pytest.raises(ValueError, match="duplicate"):
+            join_filter(data, dup, on=["k"], mode="append", append=["v"])
+        out = join_filter(data, dup, on=["k"], mode="append", append=["v"],
+                          allow_duplicate_keys=True).toPandas()
+        assert len(out) == 1 and out["v"][0] == "b"  # last-wins (max)
+
+    def test_bloom_joins_equal_exact(self, tables):
+        from tsv_utils_spark.operators.join import bloom_anti_join, bloom_semi_join
+
+        orders, cust = tables["orders"], tables["customer"]
+        small = cust.filter(F.col("c_custkey") % 3 == 0)
+        exact_semi = set(r.o_orderkey for r in
+                         orders.join(small.select(F.col("c_custkey").alias("o_custkey")),
+                                     "o_custkey", "left_semi").collect())
+        got_semi = set(r.o_orderkey for r in
+                       bloom_semi_join(orders.withColumnRenamed("o_custkey", "c_custkey"),
+                                       small, ["c_custkey"]).collect())
+        exact_anti = set(r.o_orderkey for r in
+                         orders.join(small.select(F.col("c_custkey").alias("o_custkey")),
+                                     "o_custkey", "left_anti").collect())
+        got_anti = set(r.o_orderkey for r in
+                       bloom_anti_join(orders.withColumnRenamed("o_custkey", "c_custkey"),
+                                       small, ["c_custkey"]).collect())
+        assert got_semi == exact_semi
+        assert got_anti == exact_anti
+
+
+# ------------------------------------------------------------------ uniq
+class TestUniq:
+    def test_uniq_first_by_order(self, tables):
+        docs = tables["documents"]
+        out = uniq(docs, ["lang"], order_col="doc_id").toPandas()
+        pdf = docs.toPandas().sort_values("doc_id")
+        expect = pdf.drop_duplicates("lang")
+        assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
+
+    def test_equiv_ids_first_seen(self, spark):
+        pdf = pd.DataFrame({"k": ["x", "y", "x", "z", "y"],
+                            "rid": [1, 2, 3, 4, 5]})
+        out = uniq(spark.createDataFrame(pdf), ["k"], order_col="rid",
+                   mode="equiv").toPandas().sort_values("rid")
+        assert list(out["equiv_id"]) == [1, 2, 1, 3, 2]
+
+    def test_number_and_repeated(self, spark):
+        pdf = pd.DataFrame({"k": ["x", "x", "y", "x"], "rid": [1, 2, 3, 4]})
+        df = spark.createDataFrame(pdf)
+        out = uniq(df, ["k"], order_col="rid", mode="number").toPandas() \
+            .sort_values("rid")
+        assert list(out["equiv_count"]) == [1, 2, 1, 3]
+        rep = uniq(df, ["k"], order_col="rid", mode="repeated").toPandas()
+        assert sorted(rep["rid"]) == [2, 4]
+        rep2 = uniq(df, ["k"], order_col="rid", mode="repeated",
+                    at_least=2, at_most=2).toPandas()
+        assert list(rep2["rid"]) == [2]
+
+    def test_ignore_case(self, spark):
+        pdf = pd.DataFrame({"k": ["A", "a", "B"], "rid": [1, 2, 3]})
+        out = uniq(spark.createDataFrame(pdf), ["k"], order_col="rid",
+                   ignore_case=True).toPandas()
+        assert sorted(out["rid"]) == [1, 3]
+
+
+# ---------------------------------------------------------------- sample
+class TestSample:
+    def test_bernoulli_rate_and_determinism(self, tables):
+        li = tables["lineitem"]
+        n = li.count()
+        s1 = sample(li, "bernoulli", p=0.2, seed=7, compat=True)
+        s2 = sample(li, "bernoulli", p=0.2, seed=7, compat=True)
+        c1 = s1.count()
+        assert c1 == s2.count()  # deterministic under fixed seed
+        assert abs(c1 / n - 0.2) < 0.05
+
+    def test_distinct_keys_all_or_none(self, tables):
+        li = tables["lineitem"]
+        out = sample(li, "distinct", p=0.1, keys=["l_suppkey"], seed=3).toPandas()
+        pdf = tables["lineitem"].toPandas()
+        picked = set(out["l_suppkey"])
+        # every picked key appears with ALL its rows
+        for k in picked:
+            assert (out["l_suppkey"] == k).sum() == (pdf["l_suppkey"] == k).sum()
+
+    def test_reservoir_and_weighted(self, tables):
+        li = tables["lineitem"]
+        out = sample(li, "reservoir", n=100, seed=5)
+        assert out.count() == 100
+        w = sample(li, "reservoir", n=200, weight="l_quantity", seed=5).toPandas()
+        assert len(w) == 200
+        # weighted sampling should skew toward high weights
+        assert w["l_quantity"].mean() > tables["lineitem"].toPandas()["l_quantity"].mean()
+
+    def test_compat_superset_property(self, tables):
+        li = tables["lineitem"].withColumn("rid", F.monotonically_increasing_id())
+        small = sample(li, "bernoulli", p=0.05, seed=11, compat=True).toPandas()
+        big = sample(li, "bernoulli", p=0.2, seed=11, compat=True).toPandas()
+        assert set(small["rid"]).issubset(set(big["rid"]))
+
+
+# ------------------------------------------------- select / split / append
+class TestSelectSplitAppend:
+    def test_select_variants(self, tables):
+        li = tables["lineitem"]
+        assert select_fields(li, ["l_orderkey", "l_quantity"]).columns == \
+            ["l_orderkey", "l_quantity"]
+        assert select_fields(li, [1, 2]).columns == ["l_orderkey", "l_partkey"]
+        assert select_fields(li, ["3-1"]).columns == \
+            ["l_suppkey", "l_partkey", "l_orderkey"]
+        assert select_fields(li, ["l_r*"]).columns == ["l_returnflag"]
+        assert select_fields(li, ["l_quantity"], rest="last").columns[0] == \
+            "l_quantity"
+        assert "l_orderkey" not in select_fields(li, ["l_orderkey"],
+                                                 exclude=True).columns
+        dup = select_fields(li, ["l_orderkey", "l_orderkey"]).columns
+        assert dup == ["l_orderkey", "l_orderkey_1"]
+
+    def test_split_by_key_deterministic_and_complete(self, tables):
+        out = split_by_key(tables["orders"], 8, ["o_custkey"], seed=1).toPandas()
+        assert set(out["bucket"]) <= set(range(8))
+        # same key -> same bucket
+        assert (out.groupby("o_custkey")["bucket"].nunique() == 1).all()
+
+    def test_append_tracks_source(self, tables):
+        a = tables["region"]
+        out = append_tables([("r1", a), ("r2", a)], track_source=True).toPandas()
+        assert len(out) == 2 * a.count()
+        assert set(out["source"]) == {"r1", "r2"}

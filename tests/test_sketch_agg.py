@@ -1,0 +1,101 @@
+"""Two-level partial+final sketch UDAF engine tests: estimates vs exact
+answers, map-mode vs salt-mode equivalence, shared-scan multi-sketch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tsv_utils_spark.plans import SketchSpec, sketch_agg
+
+
+@pytest.fixture(scope="module")
+def li(tables):
+    return tables["lineitem"]
+
+
+@pytest.fixture(scope="module")
+def li_pdf(li):
+    return li.toPandas()
+
+
+class TestSketchAgg:
+    def test_hll_exact_in_sparse_regime(self, li, li_pdf):
+        out = sketch_agg(
+            li, ["l_returnflag"],
+            [SketchSpec("hll", "l_partkey", "partkey_uc", {"p": 14})],
+        ).toPandas().set_index("l_returnflag").sort_index()
+        g = li_pdf.groupby("l_returnflag")["l_partkey"].nunique()
+        # sf0.001 cardinalities sit in the HLL sparse (exact) phase
+        assert (out["partkey_uc"].astype(int) == g).all()
+
+    def test_multi_sketch_one_pass(self, li, li_pdf):
+        out = sketch_agg(
+            li, ["l_returnflag"],
+            [SketchSpec("hll", "l_suppkey", "supp_uc"),
+             SketchSpec("kll", "l_extendedprice", "price",
+                        {"quantiles": [0.5, 0.9]}),
+             SketchSpec("tdigest", "l_quantity", "qty", {"quantiles": [0.5]}),
+             SketchSpec("cm", "l_linestatus", "status_mode",
+                        {"finalize": "mode"}),
+             SketchSpec("cm", "l_linestatus", "status_mode_n",
+                        {"finalize": "mode_count"})],
+            include_rows=True,
+        ).toPandas().set_index("l_returnflag").sort_index()
+        g = li_pdf.groupby("l_returnflag")
+        assert (out["rows"] == g.size()).all()
+        assert (out["supp_uc"].astype(int) == g["l_suppkey"].nunique()).all()
+        for flag, grp in li_pdf.groupby("l_returnflag"):
+            n = len(grp)
+            s_price = np.sort(grp["l_extendedprice"].to_numpy())
+            for qcol, q in (("price_q0_5", 0.5), ("price_q0_9", 0.9)):
+                est = out.loc[flag, qcol]
+                rank = np.searchsorted(s_price, est) / n
+                assert abs(rank - q) < 0.03, (flag, qcol)
+            s_qty = np.sort(grp["l_quantity"].to_numpy())
+            rank = np.searchsorted(s_qty, out.loc[flag, "qty"]) / n
+            assert abs(rank - 0.5) < 0.03
+            vc = grp["l_linestatus"].value_counts()
+            assert out.loc[flag, "status_mode_n"] == vc.max()
+            assert out.loc[flag, "status_mode"] in set(
+                v for v, c in vc.items() if c == vc.max())
+
+    def test_salt_mode_matches_map_mode(self, li):
+        specs = [SketchSpec("hll", "l_partkey", "uc"),
+                 SketchSpec("kll", "l_quantity", "q50", {"quantiles": [0.5]})]
+        a = sketch_agg(li, ["l_linestatus"], specs, mode="map") \
+            .toPandas().set_index("l_linestatus").sort_index()
+        b = sketch_agg(li, ["l_linestatus"], specs, mode="salt",
+                       salt_partitions=8) \
+            .toPandas().set_index("l_linestatus").sort_index()
+        # HLL sparse union is exactly merge-order invariant
+        assert (a["uc"] == b["uc"]).all()
+        # KLL differs only within rank error
+        assert np.allclose(a["q50"], b["q50"], rtol=0.1)
+
+    def test_no_group_by(self, li, li_pdf):
+        out = sketch_agg(li, [], [SketchSpec("hll", "l_orderkey", "uc")]) \
+            .toPandas()
+        assert int(out["uc"][0]) == li_pdf["l_orderkey"].nunique()
+
+    def test_partial_flush_path(self, li, li_pdf):
+        # force early partial flushes (max 2 groups in memory at level 1)
+        out = sketch_agg(li, ["l_suppkey"],
+                         [SketchSpec("hll", "l_orderkey", "uc")],
+                         max_groups_per_partition=2) \
+            .toPandas().set_index("l_suppkey").sort_index()
+        g = li_pdf.groupby("l_suppkey")["l_orderkey"].nunique()
+        assert (out["uc"].astype(int) == g).all()
+
+    def test_bloom_blob_output(self, li, li_pdf, spark):
+        from tsv_utils_spark.sketches.bloom import BloomFilter
+
+        out = sketch_agg(li, ["l_returnflag"],
+                         [SketchSpec("bloom", "l_partkey", "pk",
+                                     {"m": 1 << 16, "k": 5})]).collect()
+        for row in out:
+            bf = BloomFilter.deserialize(bytes(row["pk_blob"]))
+            keys = li_pdf[li_pdf.l_returnflag == row["l_returnflag"]][
+                "l_partkey"].astype(str).unique()
+            assert bf.contains(keys.astype(object)).all()

@@ -1,0 +1,162 @@
+"""tsv-join parity: semi / anti / append joins with broadcast + Bloom paths.
+
+Reference: tsv-join/src/tsv_utils/tsv-join.d — an in-memory hash semi-join
+against a filter file (build :482-571, probe :573-632), with modes
+--exclude (anti), --append-fields, --write-all (left outer default). The
+author explicitly frames it as a stream-static join (tsv-join.d:74-76) and
+documents a ~10M-entry practical limit (README.md:327).
+
+Spark-first: the filter side is broadcast when small (Catalyst
+BroadcastHashJoin = the reference's build/probe, distributed); past
+broadcast size the same API plans a shuffle join, and ``bloom_semi_join``/
+``bloom_anti_join`` offer the sketch path: a Bloom pre-filter cuts the
+probe-side shuffle volume, then an EXACT join on survivors reconciles —
+no false negatives means the final answer equals the exact join.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import functions as F
+
+from tsv_utils_spark.sketches.bloom import BloomFilter
+
+
+def join_filter(data: DataFrame,
+                filter_df: DataFrame,
+                on: list[str] | None = None,
+                data_keys: list[str] | None = None,
+                filter_keys: list[str] | None = None,
+                mode: str = "semi",
+                append: list[str] | None = None,
+                write_all: str | None = None,
+                allow_duplicate_keys: bool = False,
+                broadcast_filter: bool = True) -> DataFrame:
+    """tsv-join as a DataFrame op.
+
+    mode: 'semi' (default keep-matches, tsv-join.d:621), 'anti'
+    (--exclude), 'append' (--append-fields -> inner join projecting filter
+    columns), 'left' (--write-all STR -> left outer with default fill).
+    Keys may differ per side via data_keys/filter_keys (--d|data-fields,
+    tsv-join.d:163-165).
+    """
+    if on is not None and data_keys is None and filter_keys is None:
+        data_keys = filter_keys = list(on)
+    if not data_keys or not filter_keys or len(data_keys) != len(filter_keys):
+        raise ValueError("need matching key lists (on=, or data_keys+filter_keys)")
+
+    if mode in ("append", "left"):
+        append = append or [c for c in filter_df.columns if c not in filter_keys]
+        proj = filter_df.select(*filter_keys, *append)
+        if not allow_duplicate_keys:
+            # duplicate-key enforcement (tsv-join.d:557-565): distinct
+            # append tuples per key must be 1
+            dup = (proj.groupBy(*filter_keys)
+                       .agg(F.countDistinct(*append).alias("__n"))
+                       .filter(F.col("__n") > 1).limit(1).count())
+            if dup:
+                raise ValueError("duplicate filter keys with different append "
+                                 "values (pass allow_duplicate_keys=True for "
+                                 "last-wins)")
+        else:
+            # last wins (tsv-join.d:563): keep an arbitrary-but-deterministic
+            # single row per key (max by append tuple)
+            proj = proj.groupBy(*filter_keys).agg(
+                *[F.max(a).alias(a) for a in append])
+    else:
+        proj = filter_df.select(*filter_keys).dropDuplicates(filter_keys)
+
+    right = F.broadcast(proj) if broadcast_filter else proj
+    cond = [data[dk] == right[fk] for dk, fk in zip(data_keys, filter_keys)]
+
+    if mode == "semi":
+        return data.join(right, cond, "left_semi")
+    if mode == "anti":
+        return data.join(right, cond, "left_anti")
+    if mode == "append":
+        return data.join(right, cond, "inner").drop(*[right[fk] for fk in filter_keys])
+    if mode == "left":
+        out = data.join(right, cond, "left").drop(*[right[fk] for fk in filter_keys])
+        fill = write_all if write_all is not None else ""
+        for a in append:
+            out = out.withColumn(a, F.coalesce(F.col(a), F.lit(fill)))
+        return out
+    raise ValueError(f"bad mode {mode!r}")
+
+
+def build_bloom(filter_df: DataFrame, keys: list[str], fpr: float = 0.001,
+                capacity: int | None = None) -> BloomFilter:
+    """Build one Bloom filter over the (composite) filter keys.
+
+    Distributed build: per-partition partial Blooms via mapInPandas, OR-merged
+    on the driver (each partial is m/8 bytes — for fpr=1e-3 and 100M keys
+    that's ~180MB total once, not per executor probe row).
+    """
+    key_col = _composite(keys)
+    keyed = filter_df.select(key_col.alias("__k"))
+    n = capacity or keyed.count()
+    m = int(math.ceil(-max(n, 1) * math.log(fpr) / (math.log(2) ** 2)))
+    k = max(1, round(m / max(n, 1) * math.log(2)))
+
+    def partial(iterator):
+        bf = BloomFilter(m=m, k=k)
+        for pdf in iterator:
+            bf.update(pdf["__k"].to_numpy(dtype=object))
+        yield pd.DataFrame({"blob": [bf.serialize()]})
+
+    blobs = keyed.mapInPandas(partial, schema="blob binary").collect()
+    out = BloomFilter(m=m, k=k)
+    for r in blobs:
+        out.merge(BloomFilter.deserialize(bytes(r.blob)))
+    return out
+
+
+def _composite(keys: list[str]):
+    if len(keys) == 1:
+        return F.col(keys[0]).cast("string")
+    return F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+
+
+def _bloom_prefilter(data: DataFrame, keys: list[str], bf: BloomFilter,
+                     keep_hits: bool) -> DataFrame:
+    """Tag each data row with Bloom membership via an Arrow-vectorized
+    pandas UDF over the composite key; keep hits (semi path) or everything
+    (anti path keeps all, handled by caller)."""
+    blob = data.sparkSession.sparkContext.broadcast(bf.serialize())
+
+    @pandas_udf("boolean")
+    def bloom_contains(s: pd.Series) -> pd.Series:
+        b = BloomFilter.deserialize(blob.value)
+        return pd.Series(b.contains(s.to_numpy(dtype=object)))
+
+    tagged = data.withColumn("__bloom_hit", bloom_contains(_composite(keys)))
+    return tagged.filter(F.col("__bloom_hit")) if keep_hits else tagged
+
+
+def bloom_semi_join(data: DataFrame, filter_df: DataFrame, keys: list[str],
+                    fpr: float = 0.001) -> DataFrame:
+    """Semi-join = Bloom pre-filter (drops ~all non-matching rows before the
+    shuffle) + exact semi-join on survivors. Result is EXACTLY the semi-join
+    (Bloom has no false negatives; false positives are removed by the exact
+    join). The scale path when the filter side exceeds broadcast size but
+    its Bloom (bits) still fits."""
+    pre = _bloom_prefilter(data, keys, build_bloom(filter_df, keys, fpr), True) \
+        .drop("__bloom_hit")
+    return pre.join(filter_df.select(*keys).dropDuplicates(keys), keys, "left_semi")
+
+
+def bloom_anti_join(data: DataFrame, filter_df: DataFrame, keys: list[str],
+                    fpr: float = 0.001) -> DataFrame:
+    """Anti-join: Bloom misses are DEFINITELY non-members -> pass through with
+    no shuffle at all; only Bloom hits (true members + fpr false positives)
+    go through the exact anti-join. Shuffle volume drops from |data| to
+    ~|matches| + fpr*|data|."""
+    tagged = _bloom_prefilter(data, keys, build_bloom(filter_df, keys, fpr), False)
+    misses = tagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+    hits = tagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    checked = hits.join(filter_df.select(*keys).dropDuplicates(keys), keys, "left_anti")
+    return misses.unionByName(checked)

@@ -1,0 +1,116 @@
+"""tsv-sample parity: Bernoulli, distinct-key, reservoir (weighted and
+unweighted), shuffle, with-replacement — all as single Catalyst plans.
+
+Reference: tsv-sample/src/tsv_utils/tsv-sample.d (mode dispatch :535-567).
+
+Distributed translations (SURVEY.md §2.5):
+- Bernoulli (--p): ``df.sample`` — Spark's BernoulliSampler gap-samples
+  internally, the same optimization the reference applies below p<=0.04
+  (:585,:705-815). ``compat`` mode materializes the per-row uniform like
+  --compatibility-mode (:182-194) so bigger samples are supersets.
+- Distinct (--k --p): deterministic key-hash bucketing
+  ``pmod(hash(key), round(1/p)) == 0`` — the reference uses
+  MurmurHash3_32 % buckets (:864,:915-944); PySpark's F.hash IS
+  Murmur3-32, so semantics (deterministic, same keys always sampled
+  together) carry over exactly.
+- Reservoir --n N: top-N by a per-row random score — Catalyst plans
+  TakeOrderedAndProject: per-partition heaps + driver merge, the exact
+  distributed generalization of the reference's Efraimidis-Spirakis heap
+  (:1088-1228).
+- Weighted reservoir (--n --w): score = u^(1/w) (:1169-1174) — same
+  top-N plan; matches the A-Res weighted-reservoir scheme.
+- Shuffle: global sort by the random score (:1530-1562 Fisher-Yates is
+  the single-node special case).
+- With replacement (--r): ``df.sample(True, ...)``.
+
+Determinism: every mode takes ``seed``; same seed + same partitioning =>
+same sample (Spark ties rand() streams to partition ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sample(df: DataFrame,
+           mode: str = "bernoulli",
+           p: float | None = None,
+           n: int | None = None,
+           keys: list[str] | None = None,
+           weight: str | None = None,
+           seed: int = 2438424139,  # the reference's --static-seed value (:449)
+           compat: bool = False,
+           print_random: bool = False,
+           inorder_col: str | None = None) -> DataFrame:
+    """One entry point mirroring tsvSample's mode dispatch (:535-567)."""
+    if mode == "bernoulli":
+        if p is None:
+            raise ValueError("bernoulli needs p")
+        if compat or print_random:
+            scored = df.withColumn("random_value", F.rand(seed))
+            out = scored.filter(F.col("random_value") < p)
+            if not print_random:
+                out = out.drop("random_value")
+        else:
+            out = df.sample(False, p, seed)
+        return _maybe_inorder(out, inorder_col)
+
+    if mode == "distinct":
+        if p is None or not keys:
+            raise ValueError("distinct needs p and keys")
+        buckets = max(1, round(1.0 / p))
+        key_hash = F.hash(F.lit(seed), *[F.col(k) for k in keys])
+        out = df.filter(F.pmod(key_hash, F.lit(buckets)) == 0)
+        return _maybe_inorder(out, inorder_col)
+
+    if mode == "reservoir":
+        if n is None:
+            raise ValueError("reservoir needs n")
+        if weight:
+            # A-Res: score = u^(1/w); w <= 0 -> score 0 (:1169-1174)
+            w = F.col(weight).try_cast("double")
+            score = F.when(w > 0, F.pow(F.rand(seed), 1.0 / w)).otherwise(F.lit(0.0))
+        else:
+            score = F.rand(seed)
+        scored = df.withColumn("random_value", score)
+        out = scored.orderBy(F.col("random_value").desc()).limit(n)
+        if not print_random:
+            out = out.drop("random_value")
+        return _maybe_inorder(out, inorder_col)
+
+    if mode == "shuffle":
+        if weight:
+            w = F.col(weight).try_cast("double")
+            score = F.when(w > 0, F.pow(F.rand(seed), 1.0 / w)).otherwise(F.lit(0.0))
+        else:
+            score = F.rand(seed)
+        out = df.withColumn("random_value", score).orderBy(F.col("random_value").desc())
+        if not print_random:
+            out = out.drop("random_value")
+        return out
+
+    if mode == "replacement":
+        if n is None or p is None:
+            # reference takes --n over materialized lines; distributed form
+            # uses a fraction (n / count) — caller supplies either
+            raise ValueError("replacement needs p (expected fraction) or n with p")
+        return df.sample(True, p, seed)
+
+    raise ValueError(f"bad mode {mode!r}")
+
+
+def gen_random_inorder(df: DataFrame, weight: str | None = None,
+                       seed: int = 2438424139) -> DataFrame:
+    """--gen-random-inorder (:2161): append the per-row score, keep all rows."""
+    if weight:
+        w = F.col(weight).try_cast("double")
+        score = F.when(w > 0, F.pow(F.rand(seed), 1.0 / w)).otherwise(F.lit(0.0))
+    else:
+        score = F.rand(seed)
+    return df.withColumn("random_value", score)
+
+
+def _maybe_inorder(df: DataFrame, inorder_col: str | None) -> DataFrame:
+    # --i|inorder (:1203-1206): restore input order after sampling
+    return df.orderBy(inorder_col) if inorder_col else df

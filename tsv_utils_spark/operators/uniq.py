@@ -1,0 +1,103 @@
+"""tsv-uniq parity: dedup, equivalence classes, occurrence numbering.
+
+Reference: tsv-uniq/src/tsv_utils/tsv-uniq.d — one streaming pass over an
+in-memory key -> EquivEntry{equivID, count} hash (:355-356, modes :438-477,
+~10M-entry practical limit per README.md:270).
+
+Spark-first: all modes are window/aggregate expressions over a key — one
+shuffle, no memory wall. "First occurrence" needs a total order standing in
+for input order: pass ``order_col`` (any unique, stable column — file
+offset, event id...). Where order doesn't matter, ``uniq`` without
+order_col plans a plain hash aggregate (dropDuplicates — cheaper: partial
+dedup map-side).
+
+The Bloom-based probabilistic variant for the "have I seen this key"
+pattern at 10^12 scale lives in operators.dedup (bloom path) — here
+everything is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _key_cols(df: DataFrame, keys: list[str] | None, ignore_case: bool):
+    # key = whole line when no fields given (tsv-uniq.d:250-254 field 0)
+    keys = keys or df.columns
+    if ignore_case:
+        return [F.lower(F.col(k).cast("string")).alias(f"__k_{k}") for k in keys]
+    return [F.col(k).alias(f"__k_{k}") for k in keys]
+
+
+def uniq(df: DataFrame,
+         keys: list[str] | None = None,
+         order_col: str | None = None,
+         mode: str = "uniq",
+         ignore_case: bool = False,
+         equiv_start: int = 1,
+         at_least: int | None = None,
+         at_most: int | None = None) -> DataFrame:
+    """tsv-uniq modes over a DataFrame.
+
+    mode:
+    - 'uniq'     — first row per key (tsv-uniq.d:441-447). With order_col:
+                   exact first-by-order; without: an arbitrary-but-
+                   deterministic representative via dropDuplicates.
+    - 'equiv'    — append equivalence-class id (--e, :444,:466-469), ids
+                   assigned in first-seen order of the key (needs order_col),
+                   starting at ``equiv_start`` (--equiv-start).
+    - 'number'   — append per-key occurrence number (--z, :451,:471-474;
+                   needs order_col).
+    - 'repeated' — only rows whose occurrence number is in
+                   [at_least, at_most] (--r/--a/--m, :256-261,:454-459;
+                   needs order_col for exact reference semantics).
+    """
+    kc = _key_cols(df, keys, ignore_case)
+    knames = [f"__k_{k}" for k in (keys or df.columns)]
+    work = df.select("*", *kc)
+
+    if mode == "uniq":
+        if order_col is None:
+            out = work.dropDuplicates(knames)
+        else:
+            w = Window.partitionBy(*knames).orderBy(F.col(order_col))
+            out = (work.withColumn("__rn", F.row_number().over(w))
+                       .filter(F.col("__rn") == 1).drop("__rn"))
+        return out.drop(*knames)
+
+    if mode == "equiv":
+        if order_col is None:
+            raise ValueError("equiv mode needs order_col (first-seen id order)")
+        # Rank DISTINCT keys (small relation) rather than windowing the full
+        # data: groupBy keeps the big side shuffle-once, and the global
+        # dense_rank — inherently sequential — runs over |distinct keys|
+        # rows only, then broadcast-joins back.
+        firsts = work.groupBy(*knames).agg(F.min(order_col).alias("__first"))
+        ids = firsts.withColumn(
+            "equiv_id",
+            F.dense_rank().over(Window.orderBy(F.col("__first"))) + (equiv_start - 1),
+        ).drop("__first")
+        return work.join(F.broadcast(ids), on=knames).drop(*knames)
+
+    if mode == "number":
+        if order_col is None:
+            raise ValueError("number mode needs order_col")
+        w = Window.partitionBy(*knames).orderBy(F.col(order_col))
+        return work.withColumn("equiv_count", F.row_number().over(w)).drop(*knames)
+
+    if mode == "repeated":
+        lo = at_least if at_least is not None else 2
+        if order_col is not None:
+            w = Window.partitionBy(*knames).orderBy(F.col(order_col))
+            num = work.withColumn("__rn", F.row_number().over(w))
+            cond = F.col("__rn") >= lo
+            if at_most is not None:
+                cond = cond & (F.col("__rn") <= at_most)
+            return num.filter(cond).drop("__rn", *knames)
+        # order-free variant: keys occurring >= lo times (set semantics)
+        cw = Window.partitionBy(*knames)
+        return (work.withColumn("__cnt", F.count(F.lit(1)).over(cw))
+                    .filter(F.col("__cnt") >= lo).drop("__cnt", *knames))
+
+    raise ValueError(f"bad mode {mode!r}")

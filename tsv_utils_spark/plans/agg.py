@@ -1,0 +1,314 @@
+"""Two-level partial+final mergeable sketch aggregation.
+
+This is the engine the whole library revolves around: PySpark has no
+native partial/final protocol for pandas UDAFs, so we build the classic
+two-level plan explicitly (SURVEY.md §4 "what needs custom work"):
+
+    level 1 (partial)  — mapInPandas over the scan: per input partition,
+                         update one sketch set per group per spec, fully
+                         vectorized (NumPy batch updates, values pre-hashed
+                         JVM-side with xxhash64 where possible). Emits
+                         (group keys, blob per spec) rows — the map-side
+                         combine. Memory-bounded: when the per-partition
+                         group map exceeds ``max_groups_per_partition``,
+                         partials are flushed early (extra partial rows per
+                         group are fine — merge absorbs them).
+    level 2 (final)    — groupBy(keys).applyInPandas: deserialize, merge
+                         (associative, any order), finalize to estimate
+                         columns. Shuffles only the tiny partial rows,
+                         never the raw data.
+
+Skew: the partial level eliminates hot-key shuffle skew for aggregation by
+construction (each input partition contributes at most a handful of rows
+per key, however hot). For the explicit-salting variant demanded by
+workloads that want applyInPandas-style partials (and to evidence the
+north rule), ``mode='salt'`` adds ``salt = pmod(xxhash64(all cols), S)``
+and runs level 1 as groupBy(keys+salt).applyInPandas — two shuffles, both
+on bounded fan-out keys.
+
+Both modes produce identical estimates (tests permute modes and merge
+orders).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tsv_utils_spark.sketches.bloom import BloomFilter
+from tsv_utils_spark.sketches.countmin import CountMin
+from tsv_utils_spark.sketches.hll import HyperLogLog
+from tsv_utils_spark.sketches.kll import KLL
+from tsv_utils_spark.sketches.tdigest import TDigest
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch aggregation over one input column.
+
+    op: 'hll' | 'kll' | 'tdigest' | 'cm' | 'bloom'
+    finalize (op-dependent):
+      hll     -> '{out}' double estimate (+ '{out}_exactish' long rounded)
+      kll     -> one double col per q in params['quantiles']
+      tdigest -> same
+      cm      -> params['finalize'] in {'mode','mode_count','topk_json'}
+      bloom   -> '{out}_blob' binary (a queryable filter, not a scalar)
+    """
+
+    op: str
+    col: str
+    out: str
+    params: dict = field(default_factory=dict)
+
+    # ---- sketch construction ------------------------------------------
+    def make(self):
+        if self.op == "hll":
+            return HyperLogLog(p=self.params.get("p", 14))
+        if self.op == "kll":
+            return KLL(k=self.params.get("k", 200))
+        if self.op == "tdigest":
+            return TDigest(delta=self.params.get("delta", 200))
+        if self.op == "cm":
+            return CountMin(depth=self.params.get("depth", 5),
+                            width=self.params.get("width", 1 << 16),
+                            max_candidates=self.params.get("max_candidates", 256))
+        if self.op == "bloom":
+            return BloomFilter(m=self.params.get("m", 1 << 20),
+                               k=self.params.get("k", 7))
+        raise ValueError(f"bad sketch op {self.op!r}")
+
+    def deserialize(self, blob: bytes):
+        return {"hll": HyperLogLog, "kll": KLL, "tdigest": TDigest,
+                "cm": CountMin, "bloom": BloomFilter}[self.op].deserialize(blob)
+
+    # ---- input column expression (JVM-side prep) ----------------------
+    def input_expr(self, idx: int):
+        name = f"__in_{idx}"
+        c = F.col(self.col)
+        if self.op == "hll":
+            # hash JVM-side; NULL stays NULL (dropped in update) so
+            # distinct-count semantics match countDistinct
+            return F.when(c.isNotNull(), F.xxhash64(c)).alias(name)
+        if self.op in ("kll", "tdigest"):
+            return c.try_cast("double").alias(name)
+        if self.op == "cm":
+            return c.cast("string").alias(name)
+        if self.op == "bloom":
+            return c.cast("string").alias(name)
+        raise AssertionError(self.op)
+
+    def update(self, sketch, series: pd.Series) -> None:
+        vals = series.dropna()
+        if not len(vals):
+            return
+        if self.op == "hll":
+            sketch.update_hashes(vals.to_numpy(dtype=np.int64).view(np.uint64))
+        elif self.op in ("kll", "tdigest"):
+            sketch.update(vals.to_numpy(dtype=np.float64))
+        else:
+            sketch.update(vals.to_numpy(dtype=object))
+
+    # ---- output schema / finalize --------------------------------------
+    def output_fields(self) -> list[tuple[str, str]]:
+        if self.op == "hll":
+            return [(self.out, "double")]
+        if self.op in ("kll", "tdigest"):
+            qs = self.params.get("quantiles", [0.5])
+            if len(qs) == 1:
+                return [(self.out, "double")]
+            return [(f"{self.out}_q{_qname(q)}", "double") for q in qs]
+        if self.op == "cm":
+            fin = self.params.get("finalize", "mode")
+            if fin == "mode":
+                return [(self.out, "string")]
+            if fin == "mode_count":
+                return [(self.out, "long")]
+            return [(self.out, "string")]  # topk_json
+        if self.op == "bloom":
+            return [(f"{self.out}_blob", "binary")]
+        raise AssertionError(self.op)
+
+    def finalize(self, sketch) -> list:
+        if self.op == "hll":
+            return [float(sketch.estimate())]
+        if self.op in ("kll", "tdigest"):
+            qs = self.params.get("quantiles", [0.5])
+            return [float(sketch.quantile(q)) for q in qs]
+        if self.op == "cm":
+            fin = self.params.get("finalize", "mode")
+            m = sketch.mode()
+            if fin == "mode":
+                return [None if m is None else str(m[0])]
+            if fin == "mode_count":
+                return [None if m is None else int(m[1])]
+            import json
+            return [json.dumps([[str(v), int(c)] for v, c in
+                                sketch.heavy_hitters(self.params.get("k_top", 10))])]
+        if self.op == "bloom":
+            return [sketch.serialize()]
+        raise AssertionError(self.op)
+
+
+def _qname(q: float) -> str:
+    return f"{q:g}".replace(".", "_")
+
+
+# ---------------------------------------------------------------- helpers
+def _key_schema_fields(df: DataFrame, group_by: list[str]) -> list[T.StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [by_name[k] for k in group_by]
+
+
+def _partial_schema(df: DataFrame, group_by: list[str], n_specs: int) -> T.StructType:
+    fields = list(_key_schema_fields(df, group_by))
+    fields.append(T.StructField("__rows", T.LongType()))
+    for i in range(n_specs):
+        fields.append(T.StructField(f"__blob_{i}", T.BinaryType()))
+    return T.StructType(fields)
+
+
+def _final_schema(df: DataFrame, group_by: list[str],
+                  specs: list[SketchSpec], with_rows: bool) -> T.StructType:
+    fields = list(_key_schema_fields(df, group_by))
+    if with_rows:
+        fields.append(T.StructField("rows", T.LongType()))
+    for spec in specs:
+        for name, typ in spec.output_fields():
+            fields.append(T.StructField(name, _TYPE_MAP[typ]()))
+    return T.StructType(fields)
+
+
+_TYPE_MAP = {"double": T.DoubleType, "long": T.LongType,
+             "string": T.StringType, "binary": T.BinaryType}
+
+
+# ------------------------------------------------------------- the engine
+def sketch_agg(df: DataFrame,
+               group_by: list[str],
+               specs: list[SketchSpec],
+               mode: str = "map",
+               salt_partitions: int = 32,
+               max_groups_per_partition: int = 100_000,
+               include_rows: bool = False) -> DataFrame:
+    """All sketches for all specs computed in ONE pass over the data
+    (shared scan — the distributed form of tsv-summarize's shared value
+    lists, tsv-summarize.d:2038-2105), then one merge shuffle on the keys.
+    """
+    group_by = list(group_by)
+    in_cols = [spec.input_expr(i) for i, spec in enumerate(specs)]
+    proj = df.select(*group_by, *in_cols)
+    partial_schema = _partial_schema(df, group_by, len(specs))
+    final_schema = _final_schema(df, group_by, specs, include_rows)
+    nkeys = len(group_by)
+    in_names = [f"__in_{i}" for i in range(len(specs))]
+
+    if mode == "map":
+        partials = proj.mapInPandas(
+            _make_partial_fn(group_by, in_names, specs, partial_schema,
+                             max_groups_per_partition),
+            schema=partial_schema)
+    elif mode == "salt":
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in proj.columns]),
+                      F.lit(salt_partitions)).alias("__salt")
+        salted = proj.select("*", salt)
+        partials = salted.groupBy(*group_by, "__salt").applyInPandas(
+            _make_salt_partial_fn(group_by, in_names, specs, partial_schema),
+            schema=partial_schema)
+    else:
+        raise ValueError("mode must be 'map' or 'salt'")
+
+    merged = partials.groupBy(*group_by).applyInPandas(
+        _make_merge_fn(group_by, specs, final_schema, include_rows),
+        schema=final_schema)
+    return merged
+
+
+def _make_partial_fn(group_by, in_names, specs, partial_schema, max_groups):
+    out_cols = [f.name for f in partial_schema.fields]
+
+    def partial_fn(batches):
+        state: dict[tuple, list] = {}
+        rows: dict[tuple, int] = {}
+
+        def flush():
+            if not state:
+                return None
+            data = {c: [] for c in out_cols}
+            for key, sketches in state.items():
+                for j, k in enumerate(group_by):
+                    data[k].append(key[j])
+                data["__rows"].append(rows[key])
+                for i, s in enumerate(sketches):
+                    data[f"__blob_{i}"].append(s.serialize())
+            state.clear()
+            rows.clear()
+            return pd.DataFrame(data)
+
+        for pdf in batches:
+            if len(group_by):
+                grouped = pdf.groupby(group_by, sort=False, dropna=False)
+            else:
+                grouped = [((), pdf)]
+            for key, g in grouped:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                sk = state.get(key)
+                if sk is None:
+                    sk = [spec.make() for spec in specs]
+                    state[key] = sk
+                    rows[key] = 0
+                rows[key] += len(g)
+                for i, spec in enumerate(specs):
+                    spec.update(sk[i], g[in_names[i]])
+            if len(state) > max_groups:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return partial_fn
+
+
+def _make_salt_partial_fn(group_by, in_names, specs, partial_schema):
+    def salt_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        sketches = [spec.make() for spec in specs]
+        for i, spec in enumerate(specs):
+            spec.update(sketches[i], pdf[in_names[i]])
+        row = {k: [pdf[k].iloc[0]] for k in group_by}
+        row["__rows"] = [len(pdf)]
+        for i, s in enumerate(sketches):
+            row[f"__blob_{i}"] = [s.serialize()]
+        return pd.DataFrame(row)
+
+    return salt_fn
+
+
+def _make_merge_fn(group_by, specs, final_schema, include_rows):
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = []
+        for i, spec in enumerate(specs):
+            blobs = pdf[f"__blob_{i}"]
+            s = spec.deserialize(bytes(blobs.iloc[0]))
+            for b in blobs.iloc[1:]:
+                s.merge(spec.deserialize(bytes(b)))
+            merged.append(s)
+        row = {k: [pdf[k].iloc[0]] for k in group_by}
+        if include_rows:
+            row["rows"] = [int(pdf["__rows"].sum())]
+        for spec, s in zip(specs, merged):
+            names = [n for n, _ in spec.output_fields()]
+            vals = spec.finalize(s)
+            for n, v in zip(names, vals):
+                row[n] = [v]
+        return pd.DataFrame(row)
+
+    return merge_fn
