@@ -1,0 +1,170 @@
+"""Training-data pipeline operators: dedup suite, text analysis,
+similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tsv_utils_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from tsv_utils_spark.operators.similarity import cosine_topk, ivf_topk, lsh_cosine_topk
+from tsv_utils_spark.operators.text import analyze
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different document about spark aggregation engines",
+        "numbers and words mixed 1 2 3 four five six seven eight nine ten",
+    ]
+    rows = []
+    rid = 0
+    for b in base:
+        rows.append((rid, b)); rid += 1
+        rows.append((rid, b)); rid += 1                      # exact dup
+        toks = b.split()
+        toks[-1] = "MUTATED"
+        rows.append((rid, " ".join(toks))); rid += 1          # near dup
+    rows.append((rid, ""))                                    # empty doc
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs):
+        out = exact_dedup(docs, "text", "doc_id").toPandas()
+        # 3 bases * 2 variants (orig + mutated) + empty = 7 distinct texts
+        assert len(out) == 7
+        # keeps first occurrence ids
+        assert {0, 2, 3, 5, 6, 8, 9} == set(out["doc_id"])
+
+    def test_minhash_dedup_finds_near_dups(self, docs):
+        out = minhash_dedup(docs, "text", "doc_id", k=128, bands=32,
+                            threshold=0.5).toPandas()
+        got = dict(zip(out["doc_id"], out["dup_of"]))
+        # exact dups must be found; near-dups (1-token change) should be too
+        assert got.get(1) == 0 and got.get(4) == 3 and got.get(7) == 6
+        assert got.get(2) == 0 and got.get(5) == 3 and got.get(8) == 6
+
+    def test_simhash_dedup(self, docs):
+        out = simhash_dedup(docs, "text", "doc_id", max_hamming=3).toPandas()
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        assert (0, 1) in pairs  # identical docs at distance 0
+        # unrelated docs must not pair
+        assert (0, 3) not in pairs and (3, 6) not in pairs
+
+    def test_ngram_jaccard(self, docs, spark):
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [0, 0], "id_b": [1, 3]}))
+        out = ngram_jaccard_pairs(docs, "text", "doc_id", pairs).toPandas() \
+            .set_index("id_b")
+        assert out.loc[1, "jaccard"] == 1.0
+        assert out.loc[3, "jaccard"] < 0.1
+
+
+class TestText:
+    def test_analyze_profile(self, docs):
+        out = analyze(docs, "text", "doc_id").toPandas().set_index("doc_id")
+        assert out.loc[0, "n_tokens"] == 12
+        assert out.loc[9, "n_tokens"] == 0  # empty doc
+        assert out.loc[0, "lang_guess"] == "en"
+        assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+        assert out.loc[0, "fingerprint"] != out.loc[2, "fingerprint"]
+        assert 0 <= out.loc[0, "quality"] <= 1
+        assert out.loc[0, "stopword_ratio"] > 0
+
+    def test_analyze_real_docs(self, tables):
+        out = analyze(tables["documents"], "text", "doc_id")
+        pdf = out.toPandas()
+        assert len(pdf) == tables["documents"].count()
+        assert (pdf["n_tokens"] >= 0).all()
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, tables):
+        return tables["embeddings"]
+
+    def test_bruteforce_topk(self, emb):
+        q = emb.filter(F.col("vec_id") < 3)
+        out = cosine_topk(emb, q, k=5).toPandas()
+        assert set(out["query_id"]) == {0, 1, 2}
+        assert (out.groupby("query_id").size() == 5).all()
+        # scores sorted within query
+        for _, g in out.groupby("query_id"):
+            assert (g.sort_values("rank")["score"].diff().dropna() <= 1e-12).all()
+
+    def test_bruteforce_matches_numpy(self, emb):
+        pdf = emb.toPandas()
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        qi = np.where(ids == 0)[0][0]
+        norm = np.linalg.norm(vecs, axis=1)
+        cos = (vecs @ vecs[qi]) / (norm * norm[qi])
+        cos[qi] = -np.inf
+        expect = set(ids[np.argsort(-cos)[:5]])
+        q = emb.filter(F.col("vec_id") == 0)
+        got = set(cosine_topk(emb, q, k=5).toPandas()["neighbor_id"])
+        assert got == expect
+
+    def test_lsh_recall_on_planted_neighbors(self, emb, spark):
+        # Random vectors have no true near neighbors (angles ~90 deg), where
+        # LSH is meaningless by design. Plant them: queries = corpus vectors
+        # + small noise, so the true top-1 is the source vector (cos ~0.95).
+        pdf = emb.toPandas().head(20)
+        rng = np.random.default_rng(7)
+        qrows = []
+        for _, r in pdf.iterrows():
+            v = np.asarray(r["embedding"], dtype=np.float32)
+            noisy = v + 0.1 * np.linalg.norm(v) / np.sqrt(len(v)) * \
+                rng.standard_normal(len(v)).astype(np.float32)
+            qrows.append((int(r["vec_id"]) + 100_000, noisy.tolist()))
+        q = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+        approx = lsh_cosine_topk(emb, q, k=1, planes=10, tables=12).toPandas()
+        hits = sum(int(row.query_id) - 100_000 == int(row.neighbor_id)
+                   for row in approx.itertuples())
+        assert hits / len(qrows) >= 0.8, hits
+
+    def test_lsh_runs_on_uniform_data(self, emb):
+        q = emb.filter(F.col("vec_id") < 5)
+        out = lsh_cosine_topk(emb, q, k=5, planes=8, tables=8).toPandas()
+        assert (out.groupby("query_id").size() <= 5).all()
+
+    def test_ivf_runs_and_overlaps(self, emb):
+        q = emb.filter(F.col("vec_id") < 5)
+        exact = cosine_topk(emb, q, k=5).toPandas()
+        approx = ivf_topk(emb, q, k=5, n_cells=8, nprobe=4).toPandas()
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        assert len(e & a) / len(e) >= 0.4
+
+
+class TestMultimodal:
+    def test_plumbing(self, spark):
+        from tsv_utils_spark.operators.multimodal import (
+            frame_sample,
+            image_features,
+            resize_images,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, n=30)
+        feats = image_features(media).toPandas()
+        n_images = media.filter("kind = 'image'").count()
+        assert len(feats) == n_images
+        assert feats["px_sha"].str.len().eq(64).all()
+        # determinism: same payload -> same features
+        feats2 = image_features(media).toPandas()
+        assert feats.sort_values("media_id")["px_sha"].tolist() == \
+            feats2.sort_values("media_id")["px_sha"].tolist()
+        resized = resize_images(media).toPandas()
+        assert len(resized) == n_images
+        frames = frame_sample(media, every_ms=5000).toPandas()
+        assert (frames.groupby("media_id").size() >= 1).all()

@@ -1,0 +1,202 @@
+"""Deduplication suite for training-data pipelines.
+
+Beyond the reference's exact tsv-uniq (§2.4): the operators a 100 TB
+document corpus needs. All are DataFrame-native; Python appears only in
+Arrow-vectorized batches.
+
+- ``exact_dedup``       — hash-groupBy on a content fingerprint (md5/sha).
+- ``minhash_dedup``     — shingle -> MinHash signature -> LSH band bucket ->
+                          candidate pairs inside buckets -> exact-Jaccard
+                          verify -> connected representatives. The standard
+                          scale path: no all-pairs comparison; shuffle is
+                          (doc, band) -> bucket, cost O(n * bands).
+- ``simhash_dedup``     — 64-bit SimHash fingerprints; near-dups = small
+                          Hamming distance within blocking buckets
+                          (Charikar; 4-block exact-match blocking for
+                          distance <= 3 by pigeonhole).
+- ``ngram_jaccard_pairs`` — exact n-gram Jaccard for a candidate pair set.
+- ``embedding_dedup``   — cosine near-dup over an embedding column (see
+                          operators.similarity for the k-NN machinery).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tsv_utils_spark.sketches.minhash import (
+    band_keys,
+    jaccard_exact,
+    signature_matrix,
+)
+from tsv_utils_spark.sketches.simhash import simhash_batch
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str,
+                keep: str = "first") -> DataFrame:
+    """Exact dedup by content hash; keeps the min-id (or max-id) row per
+    distinct content. One shuffle on the 32-hex-char hash, not the content
+    itself (hash computed JVM-side in the scan stage)."""
+    h = F.md5(F.col(content_col).cast("string")).alias("__h")
+    pick = F.min(id_col) if keep == "first" else F.max(id_col)
+    reps = df.select(h, id_col).groupBy("__h").agg(pick.alias(id_col))
+    return df.join(reps, on=id_col, how="left_semi")
+
+
+def _tokenize_expr(col: str):
+    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+
+
+def minhash_signatures(df: DataFrame, content_col: str, id_col: str,
+                       k: int = 128, shingle_n: int = 3) -> DataFrame:
+    """(id, signature array<long>) via Arrow-batched NumPy MinHash."""
+    def gen(batches):
+        for pdf in batches:
+            toks = [str(t).lower().split() for t in pdf[content_col].fillna("")]
+            sigs = signature_matrix(toks, k=k, n=shingle_n)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "sig": list(sigs.astype(np.int64)),  # view as signed for Spark
+            })
+
+    schema = f"{_field_ddl(df, id_col)}, sig array<long>"
+    return df.select(id_col, content_col).mapInPandas(gen, schema=schema)
+
+
+def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
+                  k: int = 128, bands: int = 16, shingle_n: int = 3,
+                  threshold: float = 0.8) -> DataFrame:
+    """Near-dup clusters via MinHash-LSH with exact-Jaccard verification.
+
+    Returns (id_col, dup_of) pairs where dup_of is the minimum doc id of the
+    verified near-dup group. Plan shape (scale-first):
+      1. signatures: one Arrow pass, no shuffle
+      2. explode to (band_key, id): shuffle keyed by band bucket — skew-safe
+         because identical docs share all bands but bucket fan-out is bands*n
+      3. within-bucket candidate pairs (applyInPandas per bucket; buckets are
+         small by construction — a bucket the size of the corpus would mean
+         all docs identical)
+      4. exact verify on the pair list (join back to content, Arrow batch)
+    """
+    sigs = minhash_signatures(df, content_col, id_col, k=k, shingle_n=shingle_n)
+
+    def to_bands(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            sig = np.stack(pdf["sig"].to_numpy()).astype(np.uint64)
+            bk = band_keys(sig, bands)  # (n, bands)
+            n = len(ids)
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "bucket": bk.reshape(-1).astype(np.int64),
+            })
+
+    banded = sigs.mapInPandas(
+        to_bands, schema=f"{_field_ddl(df, id_col)}, band int, bucket long")
+
+    # candidate pairs: self-join within (band, bucket); min-id as left side
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, ["band", "bucket"])
+              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+              .select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+              .dropDuplicates(["id_a", "id_b"]))
+
+    # exact verify: join content back, compute true n-gram Jaccard per pair
+    content = df.select(F.col(id_col), F.col(content_col).alias("__c"))
+    withc = (pairs
+             .join(content.withColumnRenamed(id_col, "id_a")
+                          .withColumnRenamed("__c", "__ca"), "id_a")
+             .join(content.withColumnRenamed(id_col, "id_b")
+                          .withColumnRenamed("__c", "__cb"), "id_b"))
+
+    def verify(batches):
+        for pdf in batches:
+            ja = [
+                jaccard_exact(str(ca).lower().split(), str(cb).lower().split(),
+                              n=shingle_n)
+                for ca, cb in zip(pdf["__ca"], pdf["__cb"])
+            ]
+            out = pdf[["id_a", "id_b"]].copy()
+            out["jaccard"] = ja
+            yield out[out["jaccard"] >= threshold]
+
+    verified = withc.mapInPandas(
+        verify, schema="id_a long, id_b long, jaccard double")
+
+    # representative = min id reachable via one hop (sufficient for near-dup
+    # groups where all members pair with the earliest doc; full transitive
+    # closure would need iterative joins — documented limitation)
+    dup_of = (verified.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+                      .withColumnRenamed("id_b", id_col))
+    return dup_of
+
+
+def simhash_fingerprints(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """(id, simhash long) — 64-bit similarity fingerprints, Arrow batch."""
+    def gen(batches):
+        for pdf in batches:
+            toks = [str(t).lower().split() for t in pdf[content_col].fillna("")]
+            fps = simhash_batch(toks).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps})
+
+    return df.select(id_col, content_col).mapInPandas(
+        gen, schema=f"{_field_ddl(df, id_col)}, simhash long")
+
+
+def simhash_dedup(df: DataFrame, content_col: str, id_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit fingerprint into 4 16-bit blocks; any pair
+    within Hamming distance 3 matches exactly on >= 1 block (pigeonhole),
+    so candidate generation is 4 equi-joins, never all-pairs.
+    Returns (id_a, id_b, hamming).
+    """
+    fps = simhash_fingerprints(df, content_col, id_col)
+    blocks = fps.select(
+        id_col, "simhash",
+        *[(F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)))
+          .alias(f"b{i}") for i in range(4)])
+    out = None
+    for i in range(4):
+        a = blocks.select(F.col(id_col).alias("id_a"),
+                          F.col("simhash").alias("h_a"), F.col(f"b{i}").alias("blk"))
+        b = blocks.select(F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("h_b"), F.col(f"b{i}").alias("blk"))
+        cand = a.join(b, "blk").where(F.col("id_a") < F.col("id_b")) \
+                .select("id_a", "id_b", "h_a", "h_b")
+        out = cand if out is None else out.unionByName(cand)
+    cand = out.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming")
+    return (cand.select("id_a", "id_b", ham)
+                .where(F.col("hamming") <= max_hamming))
+
+
+def ngram_jaccard_pairs(df: DataFrame, content_col: str, id_col: str,
+                        pairs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) pairs — JVM-side set
+    algebra on shingle arrays (no Python in the hot path)."""
+    toks = _tokenize_expr(content_col)
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " ")))
+    docs = df.select(F.col(id_col), sh.alias("__sh"))
+    j = (pairs
+         .join(docs.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("__sh", "__sa"), "id_a")
+         .join(docs.withColumnRenamed(id_col, "id_b")
+                   .withColumnRenamed("__sh", "__sb"), "id_b"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    return j.select("id_a", "id_b",
+                    F.when(union > 0, inter / union).otherwise(1.0)
+                     .alias("jaccard"))
+
+
+def _field_ddl(df: DataFrame, col: str) -> str:
+    f = df.schema[col]
+    return f"{f.name} {f.dataType.simpleString()}"

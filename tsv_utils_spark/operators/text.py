@@ -1,0 +1,108 @@
+"""Text analysis operators for training-data pipelines — all pure Catalyst
+expressions (JVM-side, codegen'd; zero Python in the hot path).
+
+Each returns a Column so callers compose them into one projection over the
+scan (one pass, full column pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A tiny in-expression stopword heuristic per language. Real pipelines swap
+# in fastText/cld3 via mapInPandas; the Spark-side shape stays identical.
+_LANG_PATTERNS = [
+    ("zh", r"[一-鿿]"),
+    ("ja", r"[぀-ヿ]"),
+    ("ru", r"[Ѐ-ӿ]"),
+    ("en", r"(?i)\b(the|and|of|to|is)\b"),
+    ("es", r"(?i)\b(el|la|los|las|una)\b"),
+    ("fr", r"(?i)\b(le|les|des|une|est)\b"),
+    ("de", r"(?i)\b(der|die|das|und|ist)\b"),
+]
+
+
+def token_count(col: str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    t = F.trim(F.col(col))
+    return F.when(F.length(t) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(t, r"\s+"))).alias("n_tokens")
+
+
+def bpe_ish_token_count(col: str) -> Column:
+    """A BPE-flavored token estimate: word pieces + punctuation as units
+    (regex split on word/punct boundaries) — the cheap stand-in for a real
+    tokenizer when budgeting LLM training tokens."""
+    t = F.trim(F.col(col))
+    pieces = F.split(t, r"(?<=\W)|(?=\W)")
+    cleaned = F.filter(pieces, lambda p: F.trim(p) != "")
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(cleaned))
+
+
+def punct_count(col: str, chars: str = ".!?") -> Column:
+    cls = "[^" + "".join("\\" + c for c in chars) + "]"
+    return F.length(F.regexp_replace(F.col(col), cls, "")).alias("n_punct")
+
+
+def upper_ratio(col: str, digits: int = 6) -> Column:
+    up = F.length(F.regexp_replace(F.col(col), "[^A-Z]", ""))
+    n = F.length(F.col(col))
+    return F.round(F.when(n > 0, up.cast("double") / n).otherwise(F.lit(0.0)),
+                   digits)
+
+
+def stopword_ratio(col: str, stopwords=None, digits: int = 6) -> Column:
+    sw = stopwords or ["the", "and", "of", "to", "a", "is", "in", "it"]
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    n = F.size(toks)
+    return F.round(F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0)),
+                   digits)
+
+
+def quality_score(col: str) -> Column:
+    """Composite [0,1] quality heuristic: enough length, sane punctuation
+    density, not shouting, some stopwords — the classic cheap pre-filter
+    before expensive model-based scoring."""
+    n = F.length(F.col(col))
+    len_ok = F.when(n >= 200, 1.0).otherwise(n.cast("double") / 200.0)
+    punct_density = punct_count(col).cast("double") / F.greatest(n, F.lit(1))
+    punct_ok = F.when(punct_density <= 0.05, 1.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (punct_density - 0.05) * 10))
+    shout = upper_ratio(col)
+    shout_ok = F.when(shout <= 0.3, 1.0).otherwise(
+        F.greatest(F.lit(0.0), 1.0 - (shout - 0.3) * 2))
+    sw_ok = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return F.round((len_ok + punct_ok + shout_ok + sw_ok) / 4.0, 6)
+
+
+def lang_id(col: str) -> Column:
+    """n-gram/charset heuristic language guess (first matching rule)."""
+    expr = F.lit("other")
+    for lang, pat in reversed(_LANG_PATTERNS):
+        expr = F.when(F.col(col).rlike(pat), lang).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: str) -> Column:
+    """Deterministic document fingerprint: md5 of case/whitespace-normalized
+    text — the exact-dedup key (rolling/shingle hashing lives in
+    sketches.minhash for the near-dup path)."""
+    norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    return F.md5(F.trim(norm))
+
+
+def analyze(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text profile: all metrics in a single projection."""
+    return df.select(
+        id_col,
+        token_count(col).alias("n_tokens"),
+        bpe_ish_token_count(col).alias("n_pieces"),
+        punct_count(col).alias("n_punct"),
+        upper_ratio(col).alias("upper_ratio"),
+        stopword_ratio(col).alias("stopword_ratio"),
+        quality_score(col).alias("quality"),
+        lang_id(col).alias("lang_guess"),
+        fingerprint(col).alias("fingerprint"),
+    )
