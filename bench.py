@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Methodology:
+- one SparkSession, tables' footers warmed by a count() pass so per-query
+  timings measure compute, not first-touch JVM/IO setup;
+- full plan execution via the noop sink (no driver collect bottleneck for
+  row-heavy outputs);
+- the primary scale metric (BASELINE.md) is sketch-update throughput:
+  rows/sec through the two-level HLL+KLL+CM pipeline over lineitem.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in
+tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tsv_utils_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "summarize_basic",
+    "summarize_quantiles",
+    "summarize_mode",
+    "filter_numeric",
+    "filter_or_invert",
+    "join_append",
+    "join_bloom_anti",
+    "uniq_number",
+    "sample_topk_det",
+    "hll_unique_count",
+    "kll_quantiles",
+    "cm_mode",
+    "dedup_exact_docs",
+    "text_profile",
+    "ann_bruteforce",
+]
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+
+    # warm table footers + page cache
+    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for t in ("orders", "customer", "part", "events", "documents",
+              "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        run_query(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # primary metric: sketch-update throughput through the two-level plan
+    from tsv_utils_spark.plans import SketchSpec, sketch_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t0 = time.perf_counter()
+    run_query(sketch_agg(li, ["l_returnflag"], [
+        SketchSpec("hll", "l_partkey", "uc"),
+        SketchSpec("kll", "l_extendedprice", "q", {"quantiles": [0.5, 0.99]}),
+        SketchSpec("cm", "l_linestatus", "m", {"finalize": "mode"}),
+    ]))
+    sketch_sec = time.perf_counter() - t0
+    timings["sketch_pipeline"] = round(sketch_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "sketch_update_rows_per_sec": round(li_rows / sketch_sec),
+        "lineitem_rows": li_rows,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Sources: deterministic source-code synthesis, TSV/CSV round-trips."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsv_utils_spark.sources import (
+    csv_to_tsv_df,
+    read_tsv,
+    synthesize_source_code_table,
+    write_tsv,
+)
+
+
+class TestCodegen:
+    def test_deterministic_across_partitioning(self, spark):
+        a = synthesize_source_code_table(spark, 5000, partitions=2)
+        b = synthesize_source_code_table(spark, 5000, partitions=16)
+        def row_set_hash(df):
+            h = F.xxhash64("repo", "path", "commit", "lang", "sha")
+            return df.agg(F.sum(F.pmod(h, F.lit(1_000_000_007)))).first()[0]
+
+        assert row_set_hash(a) == row_set_hash(b)  # identical rows any parallelism
+
+    def test_skewed_repos(self, spark):
+        df = synthesize_source_code_table(spark, 20_000)
+        counts = (df.groupBy("repo").count().orderBy(F.desc("count"))
+                    .limit(3).toPandas())
+        assert counts.iloc[0]["repo"] == "repo_0"
+        # the mega-repo holds a large share (Pareto head)
+        assert counts.iloc[0]["count"] > 20_000 * 0.2
+
+    def test_sha_invariant(self, spark):
+        df = synthesize_source_code_table(spark, 100)
+        bad = df.where(F.sha2(F.col("content"), 256) != F.col("sha")).count()
+        assert bad == 0
+
+    def test_schema(self, spark):
+        df = synthesize_source_code_table(spark, 10)
+        assert df.columns == ["repo", "path", "commit", "lang", "content", "sha"]
+
+
+class TestTsvIO:
+    def test_tsv_round_trip(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("a", "1", 'say "hi"'), ("b", "2", "plain")],
+            ["k", "n", "msg"])
+        out = str(tmp_path / "t1")
+        write_tsv(df, out)
+        back = read_tsv(spark, out)
+        rows = {tuple(r) for r in back.collect()}
+        assert ("a", "1", 'say "hi"') in rows  # quotes survive as data
+        assert ("b", "2", "plain") in rows
+
+    def test_csv_to_tsv_semantics(self, spark, tmp_path):
+        src = tmp_path / "in.csv"
+        src.write_text('name,note\n"smith, j","line1\nline2\twide"\n')
+        df = csv_to_tsv_df(spark, str(src))
+        row = df.first()
+        assert row["name"] == "smith, j"           # comma inside quotes kept
+        assert row["note"] == "line1 line2 wide"   # newline+tab -> spaces

@@ -1,0 +1,53 @@
+"""Structured Streaming sketch aggregation: incremental merge across
+micro-batches equals the batch answer; replay is idempotent."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsv_utils_spark.plans import SketchSpec, sketch_agg
+from tsv_utils_spark.streaming import streaming_sketch_agg
+
+SPECS = [SketchSpec("hll", "l_partkey", "uc"),
+         SketchSpec("kll", "l_quantity", "q50", {"quantiles": [0.5]})]
+
+
+class TestStreaming:
+    def test_incremental_equals_batch(self, spark, tables, tmp_path):
+        li = tables["lineitem"]
+        src = str(tmp_path / "src")
+        # two files -> with maxFilesPerTrigger=1, two micro-batches
+        li.filter(F.col("l_orderkey") % 2 == 0).coalesce(1) \
+          .write.parquet(src + "/a")
+        li.filter(F.col("l_orderkey") % 2 == 1).coalesce(1) \
+          .write.parquet(src + "/b")
+        flat = str(tmp_path / "flat")
+        import glob
+        import os
+        os.makedirs(flat)
+        for i, f in enumerate(sorted(glob.glob(src + "/*/part-*.parquet"))):
+            shutil.copy(f, f"{flat}/file_{i}.parquet")
+
+        stream = (spark.readStream.schema(li.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(flat))
+        state = str(tmp_path / "state")
+        out = str(tmp_path / "out")
+        qy = streaming_sketch_agg(stream, ["l_returnflag"], SPECS,
+                                  state_dir=state, out_dir=out)
+        try:
+            qy.processAllAvailable()
+        finally:
+            qy.stop()
+
+        got = spark.read.parquet(out).toPandas() \
+            .set_index("l_returnflag").sort_index()
+        batch = sketch_agg(li, ["l_returnflag"], SPECS, include_rows=True) \
+            .toPandas().set_index("l_returnflag").sort_index()
+        assert (got["rows"] == batch["rows"]).all()
+        assert (got["uc"] == batch["uc"]).all()  # HLL sparse: exact
+        # KLL within rank tolerance of the batch run
+        assert ((got["q50"] - batch["q50"]).abs() /
+                batch["q50"].abs()).max() < 0.1

@@ -179,10 +179,41 @@ def summarize(df: DataFrame,
 
     results: list[DataFrame] = []
     if simple:
+        # Fuse all median/quantile ops on the same column into ONE
+        # percentile(col, array(probs)) aggregate — Spark's exact
+        # percentile buffers the column once per call, so k quantile ops
+        # unfused cost k buffers/sorts (the shared-value-list optimization
+        # of tsv-summarize.d:2038-2105, Spark edition).
+        pct_ops = [op for op in simple if op.kind in ("median", "quantile")]
+        rest = [op for op in simple if op.kind not in ("median", "quantile")]
         aggs: list[Column] = []
-        for op in simple:
+        post_select: list[tuple[str, Column]] = []  # (alias, expr over agg out)
+        by_col: dict[str, list[Op]] = {}
+        for op in pct_ops:
+            by_col.setdefault(op.col, []).append(op)
+        for col_name, col_ops in by_col.items():
+            probs: list[float] = []
+            for op in col_ops:
+                probs.extend([0.5] if op.kind == "median"
+                             else list(op.params["probs"]))
+            uniq_probs = sorted(set(probs))
+            num = missing.apply(F.col(col_name)).try_cast("double")
+            tmp = f"__pct_{col_name}"
+            aggs.append(F.percentile(
+                num, F.array(*[F.lit(p) for p in uniq_probs])).alias(tmp))
+            pos = {p: i for i, p in enumerate(uniq_probs)}
+            for op in col_ops:
+                op_probs = [0.5] if op.kind == "median" else list(op.params["probs"])
+                for p, name in zip(op_probs, _out_names(op)):
+                    post_select.append((name, F.col(tmp).getItem(pos[p])))
+        for op in rest:
             aggs.extend(_simple_agg(op, missing, order_col))
-        results.append(_agg(df, group_by, aggs))
+        agged = _agg(df, group_by, aggs)
+        if post_select:
+            keep = [c for c in agged.columns if not c.startswith("__pct_")]
+            agged = agged.select(
+                *keep, *[e.alias(n) for n, e in post_select])
+        results.append(agged)
     for op in mode_ops:
         results.append(_mode_agg(df, group_by, op, missing, order_col))
     if mad_ops:

@@ -1,0 +1,189 @@
+"""Checkpointed, resumable sketch aggregation with lineage + metrics.
+
+North-rule ops hardening: a 10^12-row sketch job must survive pre-emption.
+Because sketch partials are tiny, mergeable blobs, the natural checkpoint
+unit is an EPOCH: a deterministic slice of the input (epoch =
+pmod(xxhash64(row), E)). Each epoch runs as its own Spark job whose partial
+blobs land in ``{dir}/partials/epoch=i`` (parquet commit protocol makes
+the write atomic: either ``_SUCCESS`` exists or the epoch reruns).
+
+Resume = skip epochs whose ``_SUCCESS`` marker exists, compute the rest,
+final-merge over ALL epochs' partials. Estimates are identical to the
+single-shot job because merge is associative — the property the sketch
+tests verify by permutation.
+
+Lineage: every partial row carries (epoch, partition_id, rows) — which
+input slice, which task. Metrics: one JSON line per epoch appended to
+``{dir}/metrics.jsonl`` (rows, seconds, rows/sec, partials written).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tsv_utils_spark.plans.agg import (
+    SketchSpec,
+    _final_schema,
+    _make_merge_fn,
+    _partial_schema,
+)
+
+
+def _epoch_expr(df: DataFrame, epochs: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(epochs))
+
+
+def _lineage_partial_schema(df, group_by, n_specs) -> T.StructType:
+    base = _partial_schema(df, group_by, n_specs)
+    return T.StructType(
+        [T.StructField("epoch", T.IntegerType()),
+         T.StructField("partition_id", T.IntegerType())] + list(base.fields))
+
+
+def sketch_agg_checkpointed(df: DataFrame,
+                            group_by: list[str],
+                            specs: list[SketchSpec],
+                            checkpoint_dir: str,
+                            epochs: int = 8,
+                            include_rows: bool = False,
+                            max_groups_per_partition: int = 100_000,
+                            _run_epochs: list[int] | None = None) -> DataFrame:
+    """Resumable two-level sketch aggregation.
+
+    ``_run_epochs`` limits which missing epochs are computed this call
+    (test hook for simulating a crash between epochs).
+    """
+    spark = df.sparkSession
+    group_by = list(group_by)
+    in_cols = [spec.input_expr(i) for i, spec in enumerate(specs)]
+    in_names = [f"__in_{i}" for i in range(len(specs))]
+    epoch_col = _epoch_expr(df, epochs).alias("__epoch")
+    proj = df.select(*group_by, *in_cols, epoch_col)
+
+    partial_schema = _lineage_partial_schema(df, group_by, len(specs))
+    partials_root = os.path.join(checkpoint_dir, "partials")
+    metrics_path = os.path.join(checkpoint_dir, "metrics.jsonl")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    done = completed_epochs(checkpoint_dir)
+    todo = [e for e in range(epochs) if e not in done]
+    if _run_epochs is not None:
+        todo = [e for e in todo if e in _run_epochs]
+
+    for e in todo:
+        t0 = time.perf_counter()
+        slice_df = proj.filter(F.col("__epoch") == e).drop("__epoch")
+        partial = slice_df.mapInPandas(
+            _make_lineage_partial_fn(e, group_by, in_names, specs,
+                                     partial_schema,
+                                     max_groups_per_partition),
+            schema=partial_schema)
+        out_path = os.path.join(partials_root, f"epoch={e}")
+        partial.write.mode("overwrite").parquet(out_path)
+        dt = time.perf_counter() - t0
+        stats = spark.read.parquet(out_path) \
+            .agg(F.sum("__rows").alias("rows"),
+                 F.count(F.lit(1)).alias("partials")).first()
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps({
+                "epoch": e, "sec": round(dt, 3),
+                "rows": int(stats["rows"] or 0),
+                "partials": int(stats["partials"]),
+                "rows_per_sec": round((stats["rows"] or 0) / dt),
+                "ts": time.time(),
+            }) + "\n")
+
+    still_missing = [e for e in range(epochs)
+                     if e not in completed_epochs(checkpoint_dir)]
+    if still_missing:
+        raise RuntimeError(
+            f"epochs {still_missing} not yet computed — resume by calling "
+            f"again with the same checkpoint_dir")
+
+    all_partials = spark.read.parquet(partials_root) \
+        .drop("epoch", "partition_id")
+    final_schema = _final_schema(df, group_by, specs, include_rows)
+    return all_partials.groupBy(*group_by).applyInPandas(
+        _make_merge_fn(group_by, specs, final_schema, include_rows),
+        schema=final_schema)
+
+
+def completed_epochs(checkpoint_dir: str) -> set[int]:
+    root = os.path.join(checkpoint_dir, "partials")
+    done = set()
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("epoch=") and os.path.exists(
+                    os.path.join(root, name, "_SUCCESS")):
+                done.add(int(name.split("=", 1)[1]))
+    return done
+
+
+def read_metrics(checkpoint_dir: str) -> list[dict]:
+    path = os.path.join(checkpoint_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _make_lineage_partial_fn(epoch, group_by, in_names, specs,
+                             partial_schema, max_groups):
+    out_cols = [f.name for f in partial_schema.fields]
+
+    def partial_fn(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        state: dict[tuple, list] = {}
+        rows: dict[tuple, int] = {}
+
+        def flush():
+            if not state:
+                return None
+            data = {c: [] for c in out_cols}
+            for key, sketches in state.items():
+                data["epoch"].append(epoch)
+                data["partition_id"].append(pid)
+                for j, k in enumerate(group_by):
+                    data[k].append(key[j])
+                data["__rows"].append(rows[key])
+                for i, s in enumerate(sketches):
+                    data[f"__blob_{i}"].append(s.serialize())
+            state.clear()
+            rows.clear()
+            return pd.DataFrame(data)
+
+        for pdf in batches:
+            if len(group_by):
+                grouped = pdf.groupby(group_by, sort=False, dropna=False)
+            else:
+                grouped = [((), pdf)]
+            for key, g in grouped:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                sk = state.get(key)
+                if sk is None:
+                    sk = [spec.make() for spec in specs]
+                    state[key] = sk
+                    rows[key] = 0
+                rows[key] += len(g)
+                for i, spec in enumerate(specs):
+                    spec.update(sk[i], g[in_names[i]])
+            if len(state) > max_groups:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return partial_fn

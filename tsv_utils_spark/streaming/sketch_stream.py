@@ -1,0 +1,124 @@
+"""Structured Streaming over mergeable sketches.
+
+The reference's tools are single-pass streaming programs over unbounded
+stdin (tsv-sample.d:141-147 advertises memory-free streaming); its closest
+Spark analogue is a Structured Streaming query whose state is the sketch
+partials themselves — tiny, mergeable, and order-insensitive, which makes
+them ideal streaming aggregation state (no watermark needed for the
+all-time aggregate: the sketch IS the compacted history).
+
+``streaming_sketch_agg`` runs the two-level plan incrementally via
+``foreachBatch``:
+
+  per micro-batch:  level-1 partials over the batch (mapInPandas)
+  state update:     merge batch partials into the persistent per-key blob
+                    table (parquet, atomic swap) — associativity makes the
+                    result identical to a batch job over all data so far
+  output:           finalized estimates per key written to ``out_dir``
+
+Exactly-once: foreachBatch can replay a batch after failure; merging the
+same partial twice would double-count, so the state swap is guarded by the
+batch epoch id recorded in the state directory (skip already-applied
+epochs — the standard idempotent-foreachBatch pattern).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsv_utils_spark.plans.agg import (
+    SketchSpec,
+    _final_schema,
+    _make_merge_fn,
+    _make_partial_fn,
+    _partial_schema,
+)
+
+
+def _restate_fn(group_by, specs, partial_schema):
+    """Merge partial rows per key back into ONE partial row per key
+    (blobs stay blobs — this is the streaming state compaction)."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [pdf[k].iloc[0]] for k in group_by}
+        row["__rows"] = [int(pdf["__rows"].sum())]
+        for i, spec in enumerate(specs):
+            blobs = pdf[f"__blob_{i}"]
+            s = spec.deserialize(bytes(blobs.iloc[0]))
+            for b in blobs.iloc[1:]:
+                s.merge(spec.deserialize(bytes(b)))
+            row[f"__blob_{i}"] = [s.serialize()]
+        return pd.DataFrame(row)
+
+    return fn
+
+
+def streaming_sketch_agg(stream_df: DataFrame,
+                         group_by: list[str],
+                         specs: list[SketchSpec],
+                         state_dir: str,
+                         out_dir: str,
+                         max_groups_per_partition: int = 100_000,
+                         **write_stream_kwargs):
+    """Start the incremental sketch aggregation; returns the StreamingQuery.
+
+    The caller owns the trigger/termination (e.g. ``.processAllAvailable()``
+    in tests, a real trigger in production).
+    """
+    spark = stream_df.sparkSession
+    group_by = list(group_by)
+    in_cols = [spec.input_expr(i) for i, spec in enumerate(specs)]
+    in_names = [f"__in_{i}" for i in range(len(specs))]
+    partial_schema = _partial_schema(stream_df, group_by, len(specs))
+    final_schema = _final_schema(stream_df, group_by, specs, True)
+    state_path = os.path.join(state_dir, "state.parquet")
+    epoch_path = os.path.join(state_dir, "applied_epochs.json")
+    os.makedirs(state_dir, exist_ok=True)
+
+    def applied() -> set[int]:
+        if os.path.exists(epoch_path):
+            with open(epoch_path) as f:
+                return set(json.load(f))
+        return set()
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        done = applied()
+        if epoch_id in done:
+            return  # replayed batch — already merged (idempotence guard)
+        proj = batch_df.select(*group_by, *in_cols)
+        partials = proj.mapInPandas(
+            _make_partial_fn(group_by, in_names, specs, partial_schema,
+                             max_groups_per_partition),
+            schema=partial_schema)
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            old = spark.read.parquet(state_path)
+            partials = old.unionByName(partials)
+        new_state = partials.groupBy(*group_by).applyInPandas(
+            _restate_fn(group_by, specs, partial_schema),
+            schema=partial_schema)
+        tmp = state_path + f".tmp-{epoch_id}"
+        new_state.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
+        # finalize current estimates
+        est = spark.read.parquet(state_path).groupBy(*group_by).applyInPandas(
+            _make_merge_fn(group_by, specs, final_schema, True),
+            schema=final_schema)
+        est.write.mode("overwrite").parquet(out_dir)
+        with open(epoch_path, "w") as f:
+            json.dump(sorted(done | {epoch_id}), f)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(process)
+              .outputMode("update")
+              .option("checkpointLocation", os.path.join(state_dir, "ckpt")))
+    for k, v in write_stream_kwargs.items():
+        writer = writer.option(k, v)
+    return writer.start()
