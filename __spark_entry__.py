@@ -556,6 +556,28 @@ def q_append_union(spark, sf_dir):
     return u.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
 
 
+@q("number_lines", """
+SELECT row_number() OVER (ORDER BY doc_id) AS line, doc_id FROM documents
+""")
+def q_number_lines(spark, sf_dir):
+    from tsv_utils_spark.operators.misc import number_lines
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return number_lines(d, "doc_id") \
+        .select(F.col("line").cast("long").alias("line"), "doc_id")
+
+
+@q("values_ordered", """
+SELECT lang, string_agg(source, '|' ORDER BY doc_id) AS sources
+FROM documents GROUP BY lang
+""")
+def q_values_ordered(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return summarize(d, ["lang"],
+                     [Op.values("source", header="sources")],
+                     order_col="doc_id")
+
+
 # ----------------------------------------------------- sketch operators
 @q("hll_unique_count", """
 SELECT l_returnflag,

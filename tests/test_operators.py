@@ -347,3 +347,91 @@ class TestSelectSplitAppend:
         out = append_tables([("r1", a), ("r2", a)], track_source=True).toPandas()
         assert len(out) == 2 * a.count()
         assert set(out["source"]) == {"r1", "r2"}
+
+
+# ------------------------------------------------------------------ misc
+class TestMisc:
+    def test_number_lines(self, tables):
+        from tsv_utils_spark.operators.misc import number_lines
+
+        out = number_lines(tables["region"], "r_regionkey", start=10) \
+            .toPandas().sort_values("line")
+        assert list(out["line"]) == [10, 11, 12, 13, 14]
+        assert out.columns[0] == "line"
+
+    def test_number_lines_distributed(self, tables):
+        from tsv_utils_spark.operators.misc import number_lines_distributed
+
+        df = tables["lineitem"]
+        out = number_lines_distributed(df).toPandas()
+        n = len(out)
+        assert sorted(out["line"]) == list(range(1, n + 1))
+
+    def test_pretty(self, tables):
+        from tsv_utils_spark.operators.misc import pretty
+
+        s = pretty(tables["region"], n=3)
+        assert "r_name" in s and "AFRICA" in s
+
+
+class TestNumFormat:
+    def test_python_twin(self):
+        from tsv_utils_spark.functions.numformat import format_number_ref
+
+        assert format_number_ref(10.0) == "10"
+        assert format_number_ref(float("nan")) == "nan"
+        assert format_number_ref(9.5) == "9.5"
+        assert format_number_ref(1.0 / 3.0) == "0.333333333333"
+
+    def test_expr(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from tsv_utils_spark.functions.numformat import format_number_expr
+
+        df = spark.sql("""
+            SELECT * FROM VALUES (10.0D), (9.5D), (1.0D/3.0D),
+                                 (double('NaN')), (CAST(NULL AS DOUBLE))
+            AS t(v)""")
+        out = [r[0] for r in
+               df.select(format_number_expr(F.col("v"))).collect()]
+        assert out == ["10", "9.5", "0.333333333333", "nan", None]
+
+
+class TestStrictSummarize:
+    def test_aborts_on_bad_numeric(self, spark):
+        import pandas as pd
+
+        from tsv_utils_spark.operators import Op, summarize
+
+        df = spark.createDataFrame(pd.DataFrame({"k": ["a", "a"],
+                                                 "v": ["1", "oops"]}))
+        with pytest.raises(ValueError, match="non-numeric"):
+            summarize(df, ["k"], [Op.sum("v")], strict_numeric=True).collect()
+        # without strict mode: lazy null semantics
+        out = summarize(df, ["k"], [Op.sum("v")]).toPandas()
+        assert out["v_sum"][0] == 1.0
+
+
+class TestEmbeddingDedup:
+    def test_finds_planted_near_dups(self, spark, tables):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from tsv_utils_spark.operators.dedup import embedding_dedup
+
+        emb = tables["embeddings"].limit(100).toPandas()
+        rows = []
+        for _, r in emb.iterrows():
+            v = np.asarray(r["embedding"], dtype=np.float32)
+            rows.append((int(r["vec_id"]), v.tolist()))
+            if r["vec_id"] < 5:  # plant 5 near-duplicates
+                noisy = v + 0.02 * float(np.linalg.norm(v)) / np.sqrt(len(v)) * \
+                    np.random.default_rng(int(r["vec_id"])).standard_normal(len(v)).astype(np.float32)
+                rows.append((int(r["vec_id"]) + 1000, noisy.tolist()))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = embedding_dedup(df, "embedding", "vec_id",
+                              threshold=0.95).toPandas()
+        pairs = set(zip(out["id_a"], out["id_b"]))
+        found = sum((i, i + 1000) in pairs for i in range(5))
+        assert found >= 4  # LSH recall on near-identical vectors

@@ -197,6 +197,40 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str, id_col: str,
                      .alias("jaccard"))
 
 
+def embedding_dedup(df: DataFrame, vec_col: str, id_col: str,
+                    threshold: float = 0.95, planes: int = 12,
+                    tables: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates (no
+    all-pairs), exact cosine verify, keep pairs >= threshold.
+
+    Returns (id_a, id_b, score). The scale path for semantic dedup of a
+    document corpus via its embedding column.
+    """
+    from tsv_utils_spark.operators.similarity import (
+        _bucket_df,
+        _dot,
+        _hyperplanes,
+        _norm,
+    )
+
+    dim = len(df.select(vec_col).first()[0])
+    hp = _hyperplanes(dim, planes, tables, seed)
+    b1 = _bucket_df(df, id_col, vec_col, hp, "a")
+    b2 = _bucket_df(df, id_col, vec_col, hp, "b")
+    cand = (b1.join(b2, ["table", "bucket"])
+              .where(F.col("a_id") < F.col("b_id"))
+              .select(F.col("a_id").alias("id_a"),
+                      F.col("b_id").alias("id_b")).dropDuplicates())
+    v = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    j = (cand.join(v.withColumnRenamed(id_col, "id_a")
+                    .withColumnRenamed("__v", "__va"), "id_a")
+             .join(v.withColumnRenamed(id_col, "id_b")
+                    .withColumnRenamed("__v", "__vb"), "id_b"))
+    cos = (_dot(F.col("__va"), F.col("__vb")) /
+           (_norm(F.col("__va")) * _norm(F.col("__vb")))).alias("score")
+    return j.select("id_a", "id_b", cos).where(F.col("score") >= threshold)
+
+
 def _field_ddl(df: DataFrame, col: str) -> str:
     f = df.schema[col]
     return f"{f.name} {f.dataType.simpleString()}"

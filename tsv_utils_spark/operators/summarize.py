@@ -158,18 +158,33 @@ _MODE = {"mode", "mode_count"}
 _MAD = {"mad"}
 
 
+_NUMERIC_KINDS = {"sum", "mean", "median", "quantile", "range", "var",
+                  "stdev", "mad"}
+
+
 def summarize(df: DataFrame,
               group_by: list[str] | None,
               ops: list[Op],
               missing: MissingPolicy = MissingPolicy(),
-              order_col: str | None = None) -> DataFrame:
+              order_col: str | None = None,
+              strict_numeric: bool = False) -> DataFrame:
     """Grouped (or whole-table) aggregation with tsv-summarize semantics.
 
     ``group_by=None/[]`` = whole-table summary (NoKeySummarizer,
     tsv-summarize.d:842). ``order_col`` supplies the total order standing
     in for the reference's input order (first/last/mode-tiebreak/values).
+    ``strict_numeric=True`` restores the reference's abort-on-non-numeric
+    behavior (tsv-summarize.d:649-659) — default is Spark's lazy
+    cast-to-null.
     """
     group_by = list(group_by or [])
+    if strict_numeric:
+        from tsv_utils_spark.operators.filter import assert_numeric
+
+        num_cols = sorted({op.col for op in ops
+                           if op.kind in _NUMERIC_KINDS and op.col})
+        if num_cols:
+            assert_numeric(df, num_cols)
     simple = [op for op in ops if op.kind in _SIMPLE]
     mode_ops = [op for op in ops if op.kind in _MODE]
     mad_ops = [op for op in ops if op.kind in _MAD]

@@ -70,7 +70,11 @@ class SketchSpec:
     # ---- sketch construction ------------------------------------------
     def make(self):
         if self.op == "hll":
-            return HyperLogLog(p=self.params.get("p", 14))
+            # p=12 default for PER-GROUP sketches: 4KB dense registers,
+            # 1.6% std error — the blob volume of (groups x partitions)
+            # partials is the binding constraint, not single-sketch error.
+            # Standalone HyperLogLog keeps p=14.
+            return HyperLogLog(p=self.params.get("p", 12))
         if self.op == "kll":
             return KLL(k=self.params.get("k", 200))
         if self.op == "tdigest":
@@ -93,9 +97,14 @@ class SketchSpec:
         name = f"__in_{idx}"
         c = F.col(self.col)
         if self.op == "hll":
-            # hash JVM-side; NULL stays NULL (dropped in update) so
-            # distinct-count semantics match countDistinct
-            return F.when(c.isNotNull(), F.xxhash64(c)).alias(name)
+            # hash JVM-side; NULL -> sentinel 0 (dropped in update) so
+            # distinct-count semantics match countDistinct. The sentinel —
+            # not SQL NULL — keeps the Arrow column non-null int64: a
+            # nullable long becomes float64 in pandas, which cannot hold
+            # all 64-bit hash values (2^53 mantissa) and would silently
+            # corrupt them. P(real hash == 0) = 2^-64: negligible.
+            return F.when(c.isNotNull(), F.xxhash64(c)) \
+                    .otherwise(F.lit(0)).alias(name)
         if self.op in ("kll", "tdigest"):
             return c.try_cast("double").alias(name)
         if self.op == "cm":
@@ -105,15 +114,28 @@ class SketchSpec:
         raise AssertionError(self.op)
 
     def update(self, sketch, series: pd.Series) -> None:
-        vals = series.dropna()
-        if not len(vals):
+        self.update_array(sketch, series.to_numpy())
+
+    def update_array(self, sketch, arr: np.ndarray) -> None:
+        """Vectorized update from a raw numpy slice of the input column."""
+        if arr.size == 0:
             return
         if self.op == "hll":
-            sketch.update_hashes(vals.to_numpy(dtype=np.int64).view(np.uint64))
+            if arr.dtype != np.int64:
+                # guard: a float64-converted hash column would be corrupt
+                arr = pd.Series(arr).dropna().to_numpy()
+                if arr.dtype != np.int64:
+                    raise TypeError(
+                        f"hll input must be int64 hashes, got {arr.dtype}")
+            h = arr.view(np.uint64)
+            h = h[h != 0]  # drop the NULL sentinel
+            sketch.update_hashes(h)
         elif self.op in ("kll", "tdigest"):
-            sketch.update(vals.to_numpy(dtype=np.float64))
+            vals = arr.astype(np.float64, copy=False)
+            sketch.update(vals)  # update() drops NaN
         else:
-            sketch.update(vals.to_numpy(dtype=object))
+            vals = pd.Series(arr).dropna().to_numpy(dtype=object)
+            sketch.update(vals)
 
     # ---- output schema / finalize --------------------------------------
     def output_fields(self) -> list[tuple[str, str]]:
@@ -230,50 +252,78 @@ def sketch_agg(df: DataFrame,
     return merged
 
 
-def _make_partial_fn(group_by, in_names, specs, partial_schema, max_groups):
+def _make_partial_fn(group_by, in_names, specs, partial_schema, max_groups,
+                     lineage_epoch: int | None = None,
+                     max_buffered_rows: int = 4_000_000):
+    """Level-1 kernel. High-cardinality-friendly: per batch we only
+    ACCUMULATE raw value slices per group (cheap dict appends over
+    groupby().indices); sketches are built ONCE per group at flush with a
+    single vectorized update — O(groups) sketch constructions per
+    partition instead of O(groups x batches).
+
+    With ``lineage_epoch`` set, partial rows carry (epoch, partition_id)
+    lineage columns (the checkpointed plan's schema).
+    """
     out_cols = [f.name for f in partial_schema.fields]
 
     def partial_fn(batches):
-        state: dict[tuple, list] = {}
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        buf: dict[tuple, list] = {}     # key -> [list of np arrays per spec]
         rows: dict[tuple, int] = {}
+        buffered = 0
+
+        FLUSH_CHUNK = 1024  # groups per emitted frame: keeps any single
+        #                     Arrow binary column far below the 2GB limit
 
         def flush():
-            if not state:
-                return None
-            data = {c: [] for c in out_cols}
-            for key, sketches in state.items():
-                for j, k in enumerate(group_by):
-                    data[k].append(key[j])
-                data["__rows"].append(rows[key])
-                for i, s in enumerate(sketches):
-                    data[f"__blob_{i}"].append(s.serialize())
-            state.clear()
+            nonlocal buffered
+            items = list(buf.items())
+            buf.clear()
+            buffered = 0
+            for lo in range(0, len(items), FLUSH_CHUNK):
+                data = {c: [] for c in out_cols}
+                for key, per_spec in items[lo:lo + FLUSH_CHUNK]:
+                    if lineage_epoch is not None:
+                        data["epoch"].append(lineage_epoch)
+                        data["partition_id"].append(pid)
+                    for j, k in enumerate(group_by):
+                        data[k].append(key[j])
+                    data["__rows"].append(rows[key])
+                    for i, spec in enumerate(specs):
+                        s = spec.make()
+                        chunks = per_spec[i]
+                        if chunks:
+                            spec.update_array(
+                                s, chunks[0] if len(chunks) == 1
+                                else np.concatenate(chunks))
+                        data[f"__blob_{i}"].append(s.serialize())
+                yield pd.DataFrame(data)
             rows.clear()
-            return pd.DataFrame(data)
 
         for pdf in batches:
+            cols = [pdf[n].to_numpy() for n in in_names]
             if len(group_by):
-                grouped = pdf.groupby(group_by, sort=False, dropna=False)
+                idx = pdf.groupby(group_by, sort=False,
+                                  dropna=False).indices
             else:
-                grouped = [((), pdf)]
-            for key, g in grouped:
+                idx = {(): np.arange(len(pdf))}
+            for key, rix in idx.items():
                 if not isinstance(key, tuple):
                     key = (key,)
-                sk = state.get(key)
-                if sk is None:
-                    sk = [spec.make() for spec in specs]
-                    state[key] = sk
+                slot = buf.get(key)
+                if slot is None:
+                    slot = [[] for _ in specs]
+                    buf[key] = slot
                     rows[key] = 0
-                rows[key] += len(g)
-                for i, spec in enumerate(specs):
-                    spec.update(sk[i], g[in_names[i]])
-            if len(state) > max_groups:
-                out = flush()
-                if out is not None:
-                    yield out
-        out = flush()
-        if out is not None:
-            yield out
+                rows[key] += len(rix)
+                for i in range(len(specs)):
+                    slot[i].append(cols[i][rix])
+            buffered += len(pdf)
+            if len(buf) > max_groups or buffered > max_buffered_rows:
+                yield from flush()
+        yield from flush()
 
     return partial_fn
 

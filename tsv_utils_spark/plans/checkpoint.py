@@ -23,8 +23,6 @@ import json
 import os
 import time
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -33,6 +31,7 @@ from tsv_utils_spark.plans.agg import (
     SketchSpec,
     _final_schema,
     _make_merge_fn,
+    _make_partial_fn,
     _partial_schema,
 )
 
@@ -82,9 +81,8 @@ def sketch_agg_checkpointed(df: DataFrame,
         t0 = time.perf_counter()
         slice_df = proj.filter(F.col("__epoch") == e).drop("__epoch")
         partial = slice_df.mapInPandas(
-            _make_lineage_partial_fn(e, group_by, in_names, specs,
-                                     partial_schema,
-                                     max_groups_per_partition),
+            _make_partial_fn(group_by, in_names, specs, partial_schema,
+                             max_groups_per_partition, lineage_epoch=e),
             schema=partial_schema)
         out_path = os.path.join(partials_root, f"epoch={e}")
         partial.write.mode("overwrite").parquet(out_path)
@@ -133,57 +131,3 @@ def read_metrics(checkpoint_dir: str) -> list[dict]:
         return []
     with open(path) as f:
         return [json.loads(line) for line in f if line.strip()]
-
-
-def _make_lineage_partial_fn(epoch, group_by, in_names, specs,
-                             partial_schema, max_groups):
-    out_cols = [f.name for f in partial_schema.fields]
-
-    def partial_fn(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        state: dict[tuple, list] = {}
-        rows: dict[tuple, int] = {}
-
-        def flush():
-            if not state:
-                return None
-            data = {c: [] for c in out_cols}
-            for key, sketches in state.items():
-                data["epoch"].append(epoch)
-                data["partition_id"].append(pid)
-                for j, k in enumerate(group_by):
-                    data[k].append(key[j])
-                data["__rows"].append(rows[key])
-                for i, s in enumerate(sketches):
-                    data[f"__blob_{i}"].append(s.serialize())
-            state.clear()
-            rows.clear()
-            return pd.DataFrame(data)
-
-        for pdf in batches:
-            if len(group_by):
-                grouped = pdf.groupby(group_by, sort=False, dropna=False)
-            else:
-                grouped = [((), pdf)]
-            for key, g in grouped:
-                if not isinstance(key, tuple):
-                    key = (key,)
-                sk = state.get(key)
-                if sk is None:
-                    sk = [spec.make() for spec in specs]
-                    state[key] = sk
-                    rows[key] = 0
-                rows[key] += len(g)
-                for i, spec in enumerate(specs):
-                    spec.update(sk[i], g[in_names[i]])
-            if len(state) > max_groups:
-                out = flush()
-                if out is not None:
-                    yield out
-        out = flush()
-        if out is not None:
-            yield out
-
-    return partial_fn

@@ -125,19 +125,44 @@ class CountMin:
         return self
 
     def serialize(self) -> bytes:
+        """Sparse when cheap: per-group CM tables in the two-level plan are
+        overwhelmingly zeros (a group touches ~distinct-values cells, not
+        width*depth). Sparse payload = (uint32 flat index, int64 count)
+        pairs; dense = raw table. Whichever is smaller wins."""
         cand = pickle.dumps(self.candidates, protocol=4)
-        head = struct.pack("<IIQII", self.depth, self.width, self.n,
+        nz = np.flatnonzero(self.table.reshape(-1))
+        sparse_bytes = nz.size * 12
+        dense_bytes = self.table.size * 8
+        mode = 1 if sparse_bytes < dense_bytes else 0
+        head = struct.pack("<BIIQII", mode, self.depth, self.width, self.n,
                            self.max_candidates, len(cand))
-        return head + cand + self.table.tobytes()
+        if mode:
+            counts = self.table.reshape(-1)[nz]
+            payload = (struct.pack("<Q", nz.size)
+                       + nz.astype(np.uint32).tobytes() + counts.tobytes())
+        else:
+            payload = self.table.tobytes()
+        return head + cand + payload
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "CountMin":
-        depth, width, n, mc, clen = struct.unpack_from("<IIQII", blob)
-        off = struct.calcsize("<IIQII")
+        mode, depth, width, n, mc, clen = struct.unpack_from("<BIIQII", blob)
+        off = struct.calcsize("<BIIQII")
         out = cls(depth=depth, width=width, max_candidates=mc)
         out.n = n
         out.candidates = pickle.loads(blob[off:off + clen])
         off += clen
-        out.table = (np.frombuffer(blob, dtype=np.int64, count=depth * width, offset=off)
-                     .reshape(depth, width).copy())
+        if mode:
+            (nnz,) = struct.unpack_from("<Q", blob, off)
+            off += 8
+            idx = np.frombuffer(blob, dtype=np.uint32, count=nnz, offset=off)
+            off += 4 * nnz
+            counts = np.frombuffer(blob, dtype=np.int64, count=nnz, offset=off)
+            flat = np.zeros(depth * width, dtype=np.int64)
+            flat[idx.astype(np.int64)] = counts
+            out.table = flat.reshape(depth, width)
+        else:
+            out.table = (np.frombuffer(blob, dtype=np.int64,
+                                       count=depth * width, offset=off)
+                         .reshape(depth, width).copy())
         return out
