@@ -99,16 +99,22 @@ def main() -> None:
     if not os.path.exists(SRC):
         generate()
 
-    results = []
-    for cores in (N_SMALL, N_SMALL * 4):
+    # Interleave N / 4N rounds so shared-tenancy drift hits both levels
+    # equally; report the MEDIAN of per-round paired efficiencies.
+    def one(cores):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
-            capture_output=True, text=True, check=True,
-            cwd="/root/repo")
-        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+            capture_output=True, text=True, check=True, cwd="/root/repo")
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
-    small, big = results
-    eff = big["rows_per_sec"] / (4 * small["rows_per_sec"])
+    rounds = []
+    for _ in range(3):
+        rounds.append((one(N_SMALL), one(N_SMALL * 4)))
+    effs = sorted(b["rows_per_sec"] / (4 * a["rows_per_sec"])
+                  for a, b in rounds)
+    eff = effs[len(effs) // 2]
+    small = max((a for a, _ in rounds), key=lambda r: r["rows_per_sec"])
+    big = max((b for _, b in rounds), key=lambda r: r["rows_per_sec"])
     ceil = cpu_ceiling()
     hw_ratio = ceil[N_SMALL * 4] / ceil[N_SMALL]
     os.makedirs("/root/repo/BENCH", exist_ok=True)
@@ -119,7 +125,8 @@ Sandbox stand-in for N vs 4N executors (BASELINE.md target): the SAME
 two-level sketch job (HLL distinct paths + KLL content-length quantiles +
 count-min top language, grouped by Pareto-skewed `repo`) over the SAME
 deterministic source-code table, run at local[{N_SMALL}] and
-local[{N_SMALL * 4}]. Best of {REPEATS} runs per level, page-cache warm.
+local[{N_SMALL * 4}]. 3 interleaved rounds (noise-paired), best-per-level shown,
+efficiency = median of per-round pairs.
 
 Input: {small['rows']:,} rows synthesized by
 `tsv_utils_spark.sources.synthesize_source_code_table` (seed 42,
@@ -144,7 +151,7 @@ hardware-linear region, which is what makes engine scaling measurable in
 this sandbox; on a real cluster N vs 4N executors would not share cores.
 """)
     print(json.dumps({"n": small, "n4": big,
-                      "scaling_efficiency": round(eff, 3),
+                      "scaling_efficiency": round(eff, 3), "all_pair_effs": [round(e,3) for e in effs],
                       "cpu_ceiling_m_iters_per_sec": ceil}))
 
 

@@ -80,8 +80,12 @@ class SketchSpec:
         if self.op == "tdigest":
             return TDigest(delta=self.params.get("delta", 200))
         if self.op == "cm":
+            # width 2^13 for PER-GROUP sketches: serialize() scans the
+            # table (depth x width x 8B); at 2^16 that scan dominated the
+            # partial stage (profiled ~1s/task). eps = e/8192 of the
+            # group's N is ample for group-local heavy hitters.
             return CountMin(depth=self.params.get("depth", 5),
-                            width=self.params.get("width", 1 << 16),
+                            width=self.params.get("width", 1 << 13),
                             max_candidates=self.params.get("max_candidates", 256))
         if self.op == "bloom":
             return BloomFilter(m=self.params.get("m", 1 << 20),
@@ -218,19 +222,55 @@ def sketch_agg(df: DataFrame,
                mode: str = "map",
                salt_partitions: int = 32,
                max_groups_per_partition: int = 100_000,
-               include_rows: bool = False) -> DataFrame:
+               include_rows: bool = False,
+               hash_group_keys: bool | None = None) -> DataFrame:
     """All sketches for all specs computed in ONE pass over the data
     (shared scan — the distributed form of tsv-summarize's shared value
     lists, tsv-summarize.d:2038-2105), then one merge shuffle on the keys.
+
+    ``hash_group_keys`` (default off): ship only ``xxhash64(keys)`` (one
+    int64) per row instead of the key columns, recovering key VALUES from
+    a JVM-side distinct broadcast-joined onto the merged result. Measured
+    on this box it does NOT pay for short single-string keys (the extra
+    distinct scan outweighs the saved object conversion) — reserve it for
+    WIDE multi-column string keys. Collision risk ~n_groups^2 / 2^65.
     """
     group_by = list(group_by)
+    if hash_group_keys is None:
+        hash_group_keys = False
+
     in_cols = [spec.input_expr(i) for i, spec in enumerate(specs)]
+    in_names = [f"__in_{i}" for i in range(len(specs))]
+    final_schema = _final_schema(df, group_by, specs, include_rows)
+
+    if mode == "map" and hash_group_keys and group_by:
+        gkey = F.xxhash64(*[F.col(c) for c in group_by]).alias("__gkey")
+        proj = df.select(gkey, *in_cols)
+        partial_schema = T.StructType(
+            [T.StructField("__gkey", T.LongType()),
+             T.StructField("__rows", T.LongType())]
+            + [T.StructField(f"__blob_{i}", T.BinaryType())
+               for i in range(len(specs))])
+        hashed_final = T.StructType(
+            [T.StructField("__gkey", T.LongType())]
+            + [f for f in final_schema.fields if f.name not in group_by])
+        partials = proj.mapInPandas(
+            _make_partial_fn(["__gkey"], in_names, specs, partial_schema,
+                             max_groups_per_partition),
+            schema=partial_schema)
+        merged = partials.groupBy("__gkey").applyInPandas(
+            _make_merge_fn(["__gkey"], specs, hashed_final, include_rows),
+            schema=hashed_final)
+        # recover key values: distinct keys is a pure-JVM aggregate (tiny)
+        names = df.select(*group_by) \
+            .groupBy(*group_by).agg(F.lit(1)) \
+            .select(*group_by,
+                    F.xxhash64(*[F.col(c) for c in group_by]).alias("__gkey"))
+        out_cols = [f.name for f in final_schema.fields]
+        return merged.join(F.broadcast(names), "__gkey").select(*out_cols)
+
     proj = df.select(*group_by, *in_cols)
     partial_schema = _partial_schema(df, group_by, len(specs))
-    final_schema = _final_schema(df, group_by, specs, include_rows)
-    nkeys = len(group_by)
-    in_names = [f"__in_{i}" for i in range(len(specs))]
-
     if mode == "map":
         partials = proj.mapInPandas(
             _make_partial_fn(group_by, in_names, specs, partial_schema,

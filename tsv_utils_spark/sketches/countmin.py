@@ -62,7 +62,13 @@ class CountMin:
         if arr.size == 0:
             return
         if counts is None:
-            uniq, cnt = np.unique(arr, return_counts=True)
+            # hash-based pre-aggregation (pandas factorize) — much faster
+            # than sort-based np.unique on object/string arrays
+            import pandas as pd
+
+            codes, uniq = pd.factorize(arr)
+            cnt = np.bincount(codes[codes >= 0]).astype(np.int64)
+            uniq = np.asarray(uniq)
         else:
             uniq, cnt = arr, np.asarray(counts, dtype=np.int64)
         h = hash64(uniq)
