@@ -139,6 +139,41 @@ def q_summarize_basic(spark, sf_dir):
         F.round("sd_qty", 6).alias("sd_qty"))
 
 
+@q("summarize_stats3", """
+SELECT count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS qty_sum, round(min(l_quantity), 4) AS qty_min,
+       round(max(l_quantity), 4) AS qty_max, round(avg(l_quantity), 6) AS qty_mean,
+       round(stddev_samp(l_quantity), 6) AS qty_sd,
+       round(sum(l_extendedprice), 2) AS price_sum, round(min(l_extendedprice), 4) AS price_min,
+       round(max(l_extendedprice), 4) AS price_max, round(avg(l_extendedprice), 6) AS price_mean,
+       round(stddev_samp(l_extendedprice), 6) AS price_sd,
+       round(sum(l_discount), 4) AS disc_sum, round(min(l_discount), 4) AS disc_min,
+       round(max(l_discount), 4) AS disc_max, round(avg(l_discount), 6) AS disc_mean,
+       round(stddev_samp(l_discount), 6) AS disc_sd
+FROM lineitem
+""")
+def q_summarize_stats3(spark, sf_dir):
+    # the reference's headline "summary statistics" benchmark shape:
+    # count + sum/min/max/mean/stdev over 3 fields in one pass
+    # (docs/comparative-benchmarks-2018.md:104-105, BASELINE.md)
+    li = _t(spark, sf_dir, "lineitem")
+    ops = [Op.count(header="n_rows")]
+    rounds = {}
+    for col, pre in (("l_quantity", "qty"), ("l_extendedprice", "price"),
+                     ("l_discount", "disc")):
+        ops += [Op.sum(col, header=f"{pre}_sum"),
+                Op.min(col, header=f"{pre}_min"),
+                Op.max(col, header=f"{pre}_max"),
+                Op.mean(col, header=f"{pre}_mean"),
+                Op.stdev(col, header=f"{pre}_sd")]
+        rounds.update({f"{pre}_sum": 2 if pre != "disc" else 4,
+                       f"{pre}_min": 4, f"{pre}_max": 4,
+                       f"{pre}_mean": 6, f"{pre}_sd": 6})
+    out = summarize(li, None, ops)
+    return out.select("n_rows", *[F.round(c, d).alias(c)
+                                  for c, d in rounds.items()])
+
+
 @q("summarize_quantiles", """
 SELECT l_linestatus,
        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

@@ -27,6 +27,7 @@ from tsv_utils_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "summarize_basic",
+    "summarize_stats3",
     "summarize_quantiles",
     "summarize_mode",
     "filter_numeric",
@@ -90,6 +91,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "sketch_update_rows_per_sec": round(li_rows / sketch_sec),
+        "stats3_rows_per_sec": round(li_rows / timings["summarize_stats3"]),
         "lineitem_rows": li_rows,
     }
     print(json.dumps(out))
