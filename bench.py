@@ -53,7 +53,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus,
+                      extra_conf={
+                          # sf0.1 tables are single ~12MB parquet files; the
+                          # 128MB default would scan each as ONE split
+                          "spark.sql.files.maxPartitionBytes": str(4 << 20),
+                      })
 
     # warm table footers + page cache
     li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
