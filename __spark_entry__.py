@@ -756,9 +756,20 @@ def q_ann_bruteforce(spark, sf_dir):
     return cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id")
 
 
-@q("lang_id")  # no oracle: heuristic classifier (regex dialects differ);
+@q("lang_id", r"""
+SELECT doc_id,
+  CASE
+    WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+    WHEN regexp_matches(text, '[\x{3040}-\x{30FF}]') THEN 'ja'
+    WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
+    WHEN regexp_matches(text, '(?i)\b(the|and|of|to|is)\b') THEN 'en'
+    WHEN regexp_matches(text, '(?i)\b(el|la|los|las|una)\b') THEN 'es'
+    WHEN regexp_matches(text, '(?i)\b(le|les|des|une|est)\b') THEN 'fr'
+    WHEN regexp_matches(text, '(?i)\b(der|die|das|und|ist)\b') THEN 'de'
+    ELSE 'other' END AS lang_guess
+FROM documents
+""")
 def q_lang_id(spark, sf_dir):
-    # cross-checked in tests against known-language fixtures
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", lang_id("text").alias("lang_guess"))
 

@@ -168,3 +168,21 @@ class TestMultimodal:
         assert len(resized) == n_images
         frames = frame_sample(media, every_ms=5000).toPandas()
         assert (frames.groupby("media_id").size() >= 1).all()
+
+
+class TestGraphemeLength:
+    def test_combining_and_emoji(self, spark):
+        import pandas as pd
+
+        from tsv_utils_spark.operators.text import grapheme_length
+
+        rows = pd.DataFrame({"s": [
+            "abc",                      # 3 plain
+            "café",               # e + combining acute = 4 graphemes
+            "\U0001F469‍\U0001F4BB",  # woman+ZWJ+laptop = 1
+            "\U0001F1FA\U0001F1F8",     # flag pair = 1
+            "",
+        ]})
+        df = spark.createDataFrame(rows)
+        out = [r[0] for r in df.select(grapheme_length("s")).collect()]
+        assert out == [3, 4, 1, 1, 0]

@@ -7,6 +7,7 @@ scan (one pass, full column pruning).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,6 +92,52 @@ def fingerprint(col: str) -> Column:
     sketches.minhash for the near-dup path)."""
     norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
     return F.md5(F.trim(norm))
+
+
+def grapheme_length(col: str):
+    """Grapheme-cluster count (Arrow-batched pandas UDF).
+
+    The reference's --char-len counts GRAPHEMES, not code points
+    (tsv-filter.d:331); Spark's char_length counts code points. This UDF
+    closes most of the gap with a segmentation approximation: combining
+    marks (Mn/Me/Mc), ZWJ-joined sequences, variation selectors, skin-tone
+    modifiers, and the second of a regional-indicator (flag) pair do not
+    start a new cluster. Full UAX #29 needs ICU — out of sandbox scope,
+    divergence documented.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    ZWJ = "‍"
+
+    def count_graphemes(s: str) -> int:
+        n = 0
+        prev_join = False  # previous char glues this one to the cluster
+        prev_ri = False
+        for ch in s:
+            cat = unicodedata.category(ch)
+            is_mark = cat in ("Mn", "Me", "Mc")
+            is_vs = "︀" <= ch <= "️"
+            is_skin = "\U0001f3fb" <= ch <= "\U0001f3ff"
+            is_ri = "\U0001f1e6" <= ch <= "\U0001f1ff"
+            if is_mark or is_vs or is_skin or prev_join or (is_ri and prev_ri):
+                prev_join = ch == ZWJ
+                prev_ri = False if (is_ri and prev_ri) else prev_ri
+                continue
+            if ch == ZWJ:
+                prev_join = True
+                continue
+            n += 1
+            prev_join = False
+            prev_ri = is_ri
+        return n
+
+    @pandas_udf("int")
+    def _glen(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(count_graphemes)
+
+    return _glen(F.col(col))
 
 
 def analyze(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
