@@ -62,3 +62,25 @@ class TestTsvIO:
         row = df.first()
         assert row["name"] == "smith, j"           # comma inside quotes kept
         assert row["note"] == "line1 line2 wide"   # newline+tab -> spaces
+
+
+class TestWriteSplit:
+    def test_write_split_by_key(self, spark, tables, tmp_path):
+        from tsv_utils_spark.operators.split import write_split
+
+        out = str(tmp_path / "split_out")
+        write_split(tables["orders"], out, n=4, keys=["o_custkey"])
+        back = spark.read.parquet(out)
+        assert back.count() == tables["orders"].count()
+        assert set(r.bucket for r in back.select("bucket").distinct().collect()) \
+            <= set(range(4))
+
+    def test_write_split_lines_per_file(self, spark, tables, tmp_path):
+        import glob
+
+        from tsv_utils_spark.operators.split import write_split
+
+        out = str(tmp_path / "split_lines")
+        write_split(tables["region"].coalesce(1), out, lines_per_file=2)
+        files = glob.glob(out + "/part-*.parquet")
+        assert len(files) >= 3  # 5 rows / 2 per file
