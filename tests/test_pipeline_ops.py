@@ -186,3 +186,38 @@ class TestGraphemeLength:
         df = spark.createDataFrame(rows)
         out = [r[0] for r in df.select(grapheme_length("s")).collect()]
         assert out == [3, 4, 1, 1, 0]
+
+
+class TestConnectedComponents:
+    def test_chain_closure(self, spark):
+        import pandas as pd
+
+        from tsv_utils_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(pd.DataFrame(
+            {"id_a": [1, 2, 10, 20], "id_b": [2, 3, 11, 21]}))
+        out = connected_components(pairs).toPandas().set_index("id")
+        assert out.loc[3, "component"] == 1  # 1-2-3 chain closes to 1
+        assert out.loc[2, "component"] == 1
+        assert out.loc[11, "component"] == 10
+        assert out.loc[21, "component"] == 20
+
+
+class TestDistributedIds:
+    def test_matches_window_rank(self, spark):
+        import pandas as pd
+
+        from tsv_utils_spark.operators.uniq import _assign_dense_ids
+
+        pdf = pd.DataFrame({"k": [f"k{i}" for i in range(500)],
+                            "__first": np.random.default_rng(1)
+                            .permutation(500) * 7})
+        df = spark.createDataFrame(pdf)
+        small = _assign_dense_ids(df, "__first", "id", 1).toPandas() \
+            .sort_values("__first")
+        big = _assign_dense_ids(df, "__first", "id", 1,
+                                small_threshold=10).toPandas() \
+            .sort_values("__first")
+        assert list(small["id"]) == list(range(1, 501))
+        assert list(big["id"]) == list(range(1, 501))
+        assert (small.set_index("k")["id"] == big.set_index("k")["id"]).all()

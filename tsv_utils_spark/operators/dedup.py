@@ -127,12 +127,11 @@ def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
     verified = withc.mapInPandas(
         verify, schema="id_a long, id_b long, jaccard double")
 
-    # representative = min id reachable via one hop (sufficient for near-dup
-    # groups where all members pair with the earliest doc; full transitive
-    # closure would need iterative joins — documented limitation)
-    dup_of = (verified.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
-                      .withColumnRenamed("id_b", id_col))
-    return dup_of
+    # representative = min id in the verified near-dup component (full
+    # transitive closure via iterative min-propagation)
+    comps = connected_components(verified.select("id_a", "id_b"))
+    return comps.where(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col), F.col("component").alias("dup_of"))
 
 
 def simhash_fingerprints(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -229,6 +228,40 @@ def embedding_dedup(df: DataFrame, vec_col: str, id_col: str,
     cos = (_dot(F.col("__va"), F.col("__vb")) /
            (_norm(F.col("__va")) * _norm(F.col("__vb")))).alias("score")
     return j.select("id_a", "id_b", cos).where(F.col("score") >= threshold)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Transitive closure of near-dup pairs: (id, component) where
+    component = min id reachable. Iterative min-propagation (simplified
+    large-star): each round joins current labels across edges and takes
+    the min; converges in O(diameter) rounds — near-dup clusters are
+    shallow, so max_iter=10 covers practical corpora. Each iteration is
+    checkpoint-free pure DataFrame ops (two shuffles)."""
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (edges.select(F.col("a").alias("id"))
+              .unionByName(edges.select(F.col("b").alias("id")))
+              .distinct()
+              .withColumn("component", F.col("id")))
+    for _ in range(max_iter):
+        # neighbor's current label, propagated across each edge
+        prop = (edges.join(labels.withColumnRenamed("id", "b"), "b")
+                     .groupBy(F.col("a").alias("id"))
+                     .agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(prop, "id", "left")
+                      .select("id",
+                              F.least("component",
+                                      F.coalesce("nbr_min", "component"))
+                               .alias("component")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if not changed:
+            break
+    return labels
 
 
 def _field_ddl(df: DataFrame, col: str) -> str:

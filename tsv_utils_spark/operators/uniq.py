@@ -70,15 +70,13 @@ def uniq(df: DataFrame,
         if order_col is None:
             raise ValueError("equiv mode needs order_col (first-seen id order)")
         # Rank DISTINCT keys (small relation) rather than windowing the full
-        # data: groupBy keeps the big side shuffle-once, and the global
-        # dense_rank — inherently sequential — runs over |distinct keys|
-        # rows only, then broadcast-joins back.
+        # data: groupBy keeps the big side shuffle-once. The id assignment
+        # over distinct keys is a global sequence — done via a single-
+        # partition dense_rank below ~10^6 keys, else via the distributed
+        # range-partition + offset scheme (no single-partition stage).
         firsts = work.groupBy(*knames).agg(F.min(order_col).alias("__first"))
-        ids = firsts.withColumn(
-            "equiv_id",
-            F.dense_rank().over(Window.orderBy(F.col("__first"))) + (equiv_start - 1),
-        ).drop("__first")
-        return work.join(F.broadcast(ids), on=knames).drop(*knames)
+        ids = _assign_dense_ids(firsts, "__first", "equiv_id", equiv_start)
+        return work.join(ids, on=knames).drop(*knames, "__first")
 
     if mode == "number":
         if order_col is None:
@@ -101,3 +99,49 @@ def uniq(df: DataFrame,
                     .filter(F.col("__cnt") >= lo).drop("__cnt", *knames))
 
     raise ValueError(f"bad mode {mode!r}")
+
+
+def _assign_dense_ids(firsts, order_col: str, id_col: str, start: int,
+                      small_threshold: int = 1_000_000):
+    """Assign 1-up ids over ``firsts`` ordered by ``order_col``.
+
+    Small relations: one dense_rank (single-partition, fine to ~10^6).
+    Large: repartitionByRange on the order column, count each range
+    partition (tiny driver step), then per-partition running index +
+    broadcast offset — the zipWithIndex pattern with no global sort
+    bottleneck. Requires ``order_col`` values to be distinct per row
+    (true here: min(order_col) of disjoint key groups over a unique
+    order column).
+    """
+    n = firsts.count()
+    if n <= small_threshold:
+        w = Window.orderBy(F.col(order_col))
+        return firsts.withColumn(id_col, F.dense_rank().over(w) + (start - 1))
+
+    spark = firsts.sparkSession
+    parts = max(32, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    ranged = firsts.repartitionByRange(parts, F.col(order_col)) \
+                   .sortWithinPartitions(order_col)
+    counts = (ranged.withColumn("__pid", F.spark_partition_id())
+              .groupBy("__pid").count().orderBy("__pid").collect())
+    offsets = {}
+    acc = start
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    boff = spark.sparkContext.broadcast(offsets)
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        nxt = boff.value.get(pid, start)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[id_col] = range(nxt, nxt + len(pdf))
+            nxt += len(pdf)
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in ranged.schema.fields) + f", {id_col} long"
+    return ranged.mapInPandas(gen, schema=schema)
