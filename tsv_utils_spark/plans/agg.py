@@ -271,10 +271,21 @@ def sketch_agg(df: DataFrame,
     proj = df.select(*group_by, *in_cols)
     partial_schema = _partial_schema(df, group_by, len(specs))
     if mode == "map":
-        partials = proj.mapInPandas(
-            _make_partial_fn(group_by, in_names, specs, partial_schema,
-                             max_groups_per_partition),
-            schema=partial_schema)
+        if len(group_by) == 1:
+            # Arrow-native kernel: no per-row Python objects for the key
+            # or cm/bloom value columns (plans/arrow_kernel.py)
+            from tsv_utils_spark.plans.arrow_kernel import make_arrow_partial_fn
+
+            partials = proj.mapInArrow(
+                make_arrow_partial_fn(group_by[0], in_names, specs,
+                                      partial_schema,
+                                      max_groups_per_partition),
+                schema=partial_schema)
+        else:
+            partials = proj.mapInPandas(
+                _make_partial_fn(group_by, in_names, specs, partial_schema,
+                                 max_groups_per_partition),
+                schema=partial_schema)
     elif mode == "salt":
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in proj.columns]),
                       F.lit(salt_partitions)).alias("__salt")
