@@ -99,3 +99,56 @@ class TestSketchAgg:
             keys = li_pdf[li_pdf.l_returnflag == row["l_returnflag"]][
                 "l_partkey"].astype(str).unique()
             assert bf.contains(keys.astype(object)).all()
+
+
+class TestArrowKernelEdges:
+    def test_null_keys_and_values(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "k": ["a", "a", None, "b", None, "a"],
+            "s": ["x", None, "y", "y", "y", "x"],
+            "v": [1.0, None, 3.0, 4.0, 5.0, 2.0],
+        })
+        df = spark.createDataFrame(pdf)
+        out = sketch_agg(
+            df, ["k"],
+            [SketchSpec("hll", "s", "uc"),
+             SketchSpec("kll", "v", "q50", {"quantiles": [0.5]}),
+             SketchSpec("cm", "s", "top", {"finalize": "mode"})],
+            include_rows=True,
+        ).toPandas()
+        byk = {row["k"]: row for _, row in out.iterrows()}
+        assert byk["a"]["rows"] == 3
+        assert int(byk["a"]["uc"]) == 1          # 'x' only (None ignored)
+        assert byk["a"]["top"] == "x"
+        assert byk["a"]["q50"] == 1.5            # median of 1,2 (null dropped)
+        assert byk[None]["rows"] == 2
+        assert int(byk[None]["uc"]) == 1         # 'y'
+        assert byk["b"]["top"] == "y"
+
+    def test_int_group_key(self, spark):
+        import pandas as pd
+
+        pdf = pd.DataFrame({"g": [1, 1, 2, 2, 2], "x": [10, 20, 30, 30, 40]})
+        df = spark.createDataFrame(pdf)
+        out = sketch_agg(df, ["g"], [SketchSpec("hll", "x", "uc")],
+                         include_rows=True) \
+            .toPandas().set_index("g").sort_index()
+        assert list(out["rows"]) == [2, 3]
+        assert [int(v) for v in out["uc"]] == [2, 2]  # {10,20}, {30,40}
+
+    def test_arrow_matches_pandas_kernel(self, tables):
+        li = tables["lineitem"]
+        specs = [SketchSpec("hll", "l_partkey", "uc"),
+                 SketchSpec("cm", "l_linestatus", "m", {"finalize": "mode"})]
+        arrow = sketch_agg(li, ["l_returnflag"], specs) \
+            .toPandas().set_index("l_returnflag").sort_index()
+        # composite key forces the pandas kernel; project a twin key col
+        from pyspark.sql import functions as F
+
+        li2 = li.withColumn("rf2", F.col("l_returnflag"))
+        pandas_k = sketch_agg(li2, ["l_returnflag", "rf2"], specs) \
+            .toPandas().set_index("l_returnflag").sort_index()
+        assert (arrow["uc"].values == pandas_k["uc"].values).all()
+        assert (arrow["m"].values == pandas_k["m"].values).all()
