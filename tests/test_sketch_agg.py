@@ -139,16 +139,24 @@ class TestArrowKernelEdges:
         assert [int(v) for v in out["uc"]] == [2, 2]  # {10,20}, {30,40}
 
     def test_arrow_matches_pandas_kernel(self, tables):
+        from pyspark.sql import functions as F
+
         li = tables["lineitem"]
         specs = [SketchSpec("hll", "l_partkey", "uc"),
                  SketchSpec("cm", "l_linestatus", "m", {"finalize": "mode"})]
         arrow = sketch_agg(li, ["l_returnflag"], specs) \
             .toPandas().set_index("l_returnflag").sort_index()
-        # composite key forces the pandas kernel; project a twin key col
-        from pyspark.sql import functions as F
-
+        # composite key (2 cols) exercises the mixed-radix arrow path
         li2 = li.withColumn("rf2", F.col("l_returnflag"))
-        pandas_k = sketch_agg(li2, ["l_returnflag", "rf2"], specs) \
+        arrow2 = sketch_agg(li2, ["l_returnflag", "rf2"], specs) \
             .toPandas().set_index("l_returnflag").sort_index()
-        assert (arrow["uc"].values == pandas_k["uc"].values).all()
-        assert (arrow["m"].values == pandas_k["m"].values).all()
+        # >MAX_ARROW_KEYS cols forces the pandas kernel
+        li4 = (li.withColumn("rf2", F.col("l_returnflag"))
+                 .withColumn("rf3", F.col("l_returnflag"))
+                 .withColumn("rf4", F.col("l_returnflag")))
+        pandas_k = sketch_agg(li4, ["l_returnflag", "rf2", "rf3", "rf4"],
+                              specs) \
+            .toPandas().set_index("l_returnflag").sort_index()
+        for other in (arrow2, pandas_k):
+            assert (arrow["uc"].values == other["uc"].values).all()
+            assert (arrow["m"].values == other["m"].values).all()

@@ -4,10 +4,12 @@ This is the engine the whole library revolves around: PySpark has no
 native partial/final protocol for pandas UDAFs, so we build the classic
 two-level plan explicitly (SURVEY.md §4 "what needs custom work"):
 
-    level 1 (partial)  — mapInPandas over the scan: per input partition,
-                         update one sketch set per group per spec, fully
-                         vectorized (NumPy batch updates, values pre-hashed
-                         JVM-side with xxhash64 where possible). Emits
+    level 1 (partial)  — mapInArrow/mapInPandas over the scan: per input
+                         partition, update one sketch set per group per
+                         spec, fully vectorized (Arrow-native kernel for
+                         grouped runs — see plans/arrow_kernel.py — NumPy
+                         batch updates, values pre-hashed JVM-side with
+                         xxhash64 where possible). Emits
                          (group keys, blob per spec) rows — the map-side
                          combine. Memory-bounded: when the per-partition
                          group map exceeds ``max_groups_per_partition``,
@@ -271,13 +273,16 @@ def sketch_agg(df: DataFrame,
     proj = df.select(*group_by, *in_cols)
     partial_schema = _partial_schema(df, group_by, len(specs))
     if mode == "map":
-        if len(group_by) == 1:
-            # Arrow-native kernel: no per-row Python objects for the key
-            # or cm/bloom value columns (plans/arrow_kernel.py)
-            from tsv_utils_spark.plans.arrow_kernel import make_arrow_partial_fn
+        from tsv_utils_spark.plans.arrow_kernel import (
+            MAX_ARROW_KEYS,
+            make_arrow_partial_fn,
+        )
 
+        if 1 <= len(group_by) <= MAX_ARROW_KEYS:
+            # Arrow-native kernel: no per-row Python objects for keys
+            # or cm/bloom value columns (plans/arrow_kernel.py)
             partials = proj.mapInArrow(
-                make_arrow_partial_fn(group_by[0], in_names, specs,
+                make_arrow_partial_fn(group_by, in_names, specs,
                                       partial_schema,
                                       max_groups_per_partition),
                 schema=partial_schema)

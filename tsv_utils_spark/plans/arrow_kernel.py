@@ -4,18 +4,19 @@ The pandas kernel pays per-row Python object creation for every string
 column crossing the Arrow boundary (group keys, count-min/Bloom values).
 This kernel keeps everything columnar:
 
-- group keys: ``pc.dictionary_encode`` -> int32 codes; only the DISTINCT
-  key values are ever converted to Python (one ``as_py`` per group per
-  batch);
+- group keys: ``pc.dictionary_encode`` per key column -> int codes, packed
+  into ONE int64 mixed-radix code per row (supports up to 3 key columns
+  per 64-bit budget); only the DISTINCT key tuples are ever converted to
+  Python (one ``as_py`` per column per distinct group per batch);
 - hll inputs: already int64 xxhash64 from the JVM — zero-copy numpy;
 - kll/t-digest inputs: float64 numpy (nulls -> NaN, dropped by update);
-- cm/bloom inputs: dictionary-encoded too; per (group, value-code) counts
-  come from one ``np.unique`` over a packed 64-bit (group_code << 32 |
-  value_code) key — counts feed CountMin.update(values, counts) and only
-  distinct values are materialized.
+- cm/bloom inputs: dictionary-encoded too; per-(group, value) counts come
+  from one ``np.unique`` over the value codes of each group segment —
+  counts feed CountMin.update(values, counts) and only distinct values
+  are materialized.
 
-Supported for single-column group keys (the common case — composite keys
-fall back to the pandas kernel transparently).
+Keys beyond 3 columns fall back to the pandas kernel transparently
+(agg.sketch_agg routes).
 """
 
 from __future__ import annotations
@@ -23,14 +24,16 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+MAX_ARROW_KEYS = 3
 
-def make_arrow_partial_fn(group_col: str, in_names, specs, partial_schema,
+
+def make_arrow_partial_fn(group_cols, in_names, specs, partial_schema,
                           max_groups: int, lineage_epoch: int | None = None,
                           max_buffered_rows: int = 4_000_000):
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    out_fields = [(f.name, f.dataType.simpleString())
-                  for f in partial_schema.fields]
+    group_cols = list(group_cols)
+    out_names = [f.name for f in partial_schema.fields]
     pa_schema = to_arrow_schema(partial_schema)
     value_based = {i for i, s in enumerate(specs) if s.op in ("cm", "bloom")}
 
@@ -40,8 +43,8 @@ def make_arrow_partial_fn(group_col: str, in_names, specs, partial_schema,
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        # per-group state: numeric specs accumulate np chunks; value-based
-        # specs accumulate {value: count}
+        # per-group state keyed by the key-value TUPLE: numeric specs
+        # accumulate np chunks; value-based specs accumulate {value: count}
         buf: dict = {}
         rows: dict = {}
         buffered = 0
@@ -62,12 +65,13 @@ def make_arrow_partial_fn(group_col: str, in_names, specs, partial_schema,
             buffered = 0
             CHUNK = 1024
             for lo in range(0, len(items), CHUNK):
-                cols: dict = {name: [] for name, _ in out_fields}
+                cols: dict = {name: [] for name in out_names}
                 for key, per_spec in items[lo:lo + CHUNK]:
                     if lineage_epoch is not None:
                         cols["epoch"].append(lineage_epoch)
                         cols["partition_id"].append(pid)
-                    cols[group_col].append(key)
+                    for j, gname in enumerate(group_cols):
+                        cols[gname].append(key[j])
                     cols["__rows"].append(rows[key])
                     for i, spec in enumerate(specs):
                         sk = spec.make()
@@ -90,24 +94,36 @@ def make_arrow_partial_fn(group_col: str, in_names, specs, partial_schema,
                                     else np.concatenate(chunks))
                         cols[f"__blob_{i}"].append(sk.serialize())
                 arrays = [pa.array(cols[name], type=field.type)
-                          for name, field in zip([n for n, _ in out_fields],
-                                                 pa_schema)]
+                          for name, field in zip(out_names, pa_schema)]
                 yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
             rows.clear()
+
+        def encode_col(col):
+            """(codes int64 with -1 for null, dictionary pa.Array)."""
+            d = pc.dictionary_encode(col)
+            if isinstance(d, pa.ChunkedArray):
+                d = d.combine_chunks()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+            return np.where(nulls, -1, codes), d.dictionary
 
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
-            kcol = batch.column(batch.schema.get_field_index(group_col))
-            dict_arr = pc.dictionary_encode(kcol)
-            codes = dict_arr.combine_chunks().indices if isinstance(
-                dict_arr, pa.ChunkedArray) else dict_arr.indices
-            null_mask = pc.is_null(kcol).to_numpy(zero_copy_only=False)
-            codes_np = codes.to_numpy(zero_copy_only=False).astype(np.int64)
-            codes_np = np.where(null_mask, -1, codes_np)
-            dictionary = (dict_arr.dictionary if not isinstance(
-                dict_arr, pa.ChunkedArray) else dict_arr.chunk(0).dictionary)
+            key_codes, key_dicts, radices = [], [], []
+            for gname in group_cols:
+                kc = batch.column(batch.schema.get_field_index(gname))
+                codes, dic = encode_col(kc)
+                key_codes.append(codes)
+                key_dicts.append(dic)
+                radices.append(len(dic) + 1)
+            # mixed-radix pack into one int64 per row (null -> digit 0)
+            combined = np.zeros(n, dtype=np.int64)
+            for codes, radix in zip(key_codes, radices):
+                combined *= radix
+                combined += codes + 1
+
             # numeric input columns -> numpy once per batch
             num_cols = {}
             for i, spec in enumerate(specs):
@@ -124,24 +140,28 @@ def make_arrow_partial_fn(group_col: str, in_names, specs, partial_schema,
             val_cols = {}
             for i in value_based:
                 col = batch.column(batch.schema.get_field_index(in_names[i]))
-                d = pc.dictionary_encode(col)
-                v_codes = d.indices.to_numpy(zero_copy_only=False)
-                v_null = pc.is_null(col).to_numpy(zero_copy_only=False)
-                v_codes = np.where(v_null, -1,
-                                   v_codes.astype(np.int64))
-                val_cols[i] = (v_codes, d.dictionary)
+                val_cols[i] = encode_col(col)
 
-            order = np.argsort(codes_np, kind="stable")
-            sorted_codes = codes_np[order]
+            order = np.argsort(combined, kind="stable")
+            sorted_codes = combined[order]
             bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
             starts = np.concatenate([[0], bounds])
             ends = np.concatenate([bounds, [n]])
             key_cache: dict = {}
             for s_, e_ in zip(starts, ends):
                 code = int(sorted_codes[s_])
-                key = key_cache.get(code)
-                if key is None and code not in key_cache:
-                    key = None if code < 0 else dictionary[code].as_py()
+                if code in key_cache:
+                    key = key_cache[code]
+                else:
+                    digits = []
+                    rem = code
+                    for radix in reversed(radices):
+                        digits.append(rem % radix)
+                        rem //= radix
+                    digits.reverse()
+                    key = tuple(
+                        None if d == 0 else key_dicts[j][d - 1].as_py()
+                        for j, d in enumerate(digits))
                     key_cache[code] = key
                 idx = order[s_:e_]
                 slot = slot_for(key)
