@@ -160,3 +160,16 @@ class TestArrowKernelEdges:
         for other in (arrow2, pandas_k):
             assert (arrow["uc"].values == other["uc"].values).all()
             assert (arrow["m"].values == other["m"].values).all()
+
+    def test_cm_topk_json_finalize(self, li, li_pdf):
+        import json
+
+        out = sketch_agg(li, ["l_returnflag"],
+                         [SketchSpec("cm", "l_linestatus", "top",
+                                     {"finalize": "topk_json", "k_top": 2})]) \
+            .toPandas().set_index("l_returnflag")
+        for flag, grp in li_pdf.groupby("l_returnflag"):
+            got = json.loads(out.loc[flag, "top"])
+            vc = grp["l_linestatus"].value_counts()
+            assert got[0][0] == vc.index[0]
+            assert got[0][1] == int(vc.iloc[0])
