@@ -803,6 +803,43 @@ def q_text_profile(spark, sf_dir):
     return analyze(d, "text", "doc_id")
 
 
+@q("grapheme_length", """
+SELECT doc_id, length(text) AS n_graphemes FROM documents
+""")
+def q_grapheme_length(spark, sf_dir):
+    # these documents contain no combining sequences, so grapheme count ==
+    # code-point count and plain length() is a valid oracle; the UDF's
+    # cluster rules (ZWJ/flags/combining marks) are pytest-covered
+    from tsv_utils_spark.operators.text import grapheme_length
+
+    _ensure_shipped(spark)
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    grapheme_length("text").cast("long").alias("n_graphemes"))
+
+
+@q("ann_ivf")  # no oracle: approximate (IVF cell probing); recall in pytest
+def q_ann_ivf(spark, sf_dir):
+    from tsv_utils_spark.operators.similarity import ivf_topk
+
+    _ensure_shipped(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, qv, k=5).select("query_id", "neighbor_id")
+
+
+@q("embedding_near_dup")  # no oracle: LSH-bucketed candidates
+def q_embedding_near_dup(spark, sf_dir):
+    from tsv_utils_spark.operators.dedup import embedding_dedup
+
+    _ensure_shipped(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    # synthetic embeddings are near-orthogonal (no true dups); 0.2 keeps
+    # the candidate-generation + verify pipeline observable end-to-end
+    return embedding_dedup(emb, "embedding", "vec_id", threshold=0.2) \
+        .select("id_a", "id_b", F.round("score", 4).alias("score"))
+
+
 # =====================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)

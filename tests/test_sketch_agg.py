@@ -173,3 +173,24 @@ class TestArrowKernelEdges:
             vc = grp["l_linestatus"].value_counts()
             assert got[0][0] == vc.index[0]
             assert got[0][1] == int(vc.iloc[0])
+
+    def test_hll_vs_spark_builtin_cross_check(self, spark):
+        # SURVEY §7 decision table: Spark's approx_count_distinct (HLL++)
+        # serves as a secondary cross-check of our HLL in the dense regime
+        import pandas as pd
+
+        n = 150_000
+        df = spark.range(n).selectExpr("id % 120000 as v",
+                                       "cast(id % 3 as string) as g")
+        ours = sketch_agg(df, ["g"], [SketchSpec("hll", "v", "uc",
+                                                 {"p": 12, "sparse_limit": 8})]) \
+            .toPandas().set_index("g")
+        theirs = df.groupBy("g").agg(
+            F.approx_count_distinct("v", 0.02).alias("uc")) \
+            .toPandas().set_index("g")
+        exact = df.groupBy("g").agg(F.countDistinct("v").alias("uc")) \
+            .toPandas().set_index("g")
+        for g in exact.index:
+            e = exact.loc[g, "uc"]
+            assert abs(ours.loc[g, "uc"] - e) / e < 0.05
+            assert abs(theirs.loc[g, "uc"] - e) / e < 0.05
