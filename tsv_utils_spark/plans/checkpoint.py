@@ -77,13 +77,26 @@ def sketch_agg_checkpointed(df: DataFrame,
     if _run_epochs is not None:
         todo = [e for e in todo if e in _run_epochs]
 
+    from tsv_utils_spark.plans.arrow_kernel import (
+        MAX_ARROW_KEYS,
+        make_arrow_partial_fn,
+    )
+
     for e in todo:
         t0 = time.perf_counter()
         slice_df = proj.filter(F.col("__epoch") == e).drop("__epoch")
-        partial = slice_df.mapInPandas(
-            _make_partial_fn(group_by, in_names, specs, partial_schema,
-                             max_groups_per_partition, lineage_epoch=e),
-            schema=partial_schema)
+        if 1 <= len(group_by) <= MAX_ARROW_KEYS:
+            partial = slice_df.mapInArrow(
+                make_arrow_partial_fn(group_by, in_names, specs,
+                                      partial_schema,
+                                      max_groups_per_partition,
+                                      lineage_epoch=e),
+                schema=partial_schema)
+        else:
+            partial = slice_df.mapInPandas(
+                _make_partial_fn(group_by, in_names, specs, partial_schema,
+                                 max_groups_per_partition, lineage_epoch=e),
+                schema=partial_schema)
         out_path = os.path.join(partials_root, f"epoch={e}")
         partial.write.mode("overwrite").parquet(out_path)
         dt = time.perf_counter() - t0
