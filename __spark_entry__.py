@@ -290,17 +290,27 @@ def q_summarize_global(spark, sf_dir):
 
 
 @q("summarize_missing_policy", """
-SELECT lang,
-       sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_missing,
-       sum(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END) AS n_present,
-       round(avg(CASE WHEN text IS NOT NULL AND text <> ''
-                      THEN length(text) END), 4) AS avg_len_excl
-FROM documents GROUP BY lang
+SELECT lang, n_missing, n_present,
+       CASE WHEN n_present = 0 THEN NULL
+            ELSE CAST((sum_len * 10000 + n_present // 2) // n_present
+                      AS DOUBLE) / 10000.0 END AS avg_len_excl
+FROM (
+  SELECT lang,
+         sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_missing,
+         sum(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END) AS n_present,
+         sum(CASE WHEN text IS NOT NULL AND text <> ''
+                  THEN length(text) ELSE 0 END) AS sum_len
+  FROM documents GROUP BY lang
+)
 """)
 def q_summarize_missing_policy(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn("text_len",
                                                   F.length("text"))
-    # avg over non-missing only = the --x|exclude-missing policy
+    # avg over non-missing only = the --x|exclude-missing policy.
+    # Rounding contract: the 4-dp average is computed with EXACT integer
+    # arithmetic (sum*10^4 half-up div count) then one IEEE double divide —
+    # bit-identical in Spark and DuckDB, unlike round(double, 4) whose
+    # input double can differ by an ulp between engines.
     out = summarize(
         d.withColumn("text_len",
                      F.when(MissingPolicy.is_missing(F.col("text")),
@@ -308,10 +318,15 @@ def q_summarize_missing_policy(spark, sf_dir):
         ["lang"],
         [Op.missing_count("text", header="n_missing"),
          Op.not_missing_count("text", header="n_present"),
-         Op.mean("text_len", header="avg_len_excl")],
+         Op.sum("text_len", header="sum_len")],
         missing=MissingPolicy("exclude"))
+    avg4 = F.expr(
+        "CASE WHEN n_present = 0 THEN NULL "
+        "ELSE CAST((CAST(coalesce(sum_len, 0) AS BIGINT) * 10000 "
+        "+ n_present DIV 2) "
+        "DIV n_present AS DOUBLE) / 10000.0 END")
     return out.select("lang", "n_missing", "n_present",
-                      F.round("avg_len_excl", 4).alias("avg_len_excl"))
+                      avg4.alias("avg_len_excl"))
 
 
 # ------------------------------------------------------------ tsv-filter

@@ -64,9 +64,14 @@ def join_filter(data: DataFrame,
                                  "last-wins)")
         else:
             # last wins (tsv-join.d:563): keep an arbitrary-but-deterministic
-            # single row per key (max by append tuple)
-            proj = proj.groupBy(*filter_keys).agg(
-                *[F.max(a).alias(a) for a in append])
+            # single ACTUAL row per key — max over the append-tuple struct,
+            # so the kept values all come from one filter row (per-column
+            # F.max could stitch a tuple existing in no row)
+            proj = (proj.groupBy(*filter_keys)
+                        .agg(F.max(F.struct(*[F.col(a) for a in append]))
+                              .alias("__row"))
+                        .select(*filter_keys,
+                                *[F.col("__row")[a].alias(a) for a in append]))
     else:
         proj = filter_df.select(*filter_keys).dropDuplicates(filter_keys)
 

@@ -44,6 +44,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tsv_utils_spark.functions.joins import join_null_safe
 from tsv_utils_spark.functions.missing import MissingPolicy
 
 
@@ -236,7 +237,8 @@ def summarize(df: DataFrame,
 
     out = results[0]
     for r in results[1:]:
-        out = out.join(r, on=group_by) if group_by else out.crossJoin(r)
+        # null-safe: NULL group keys are real groups (groupBy keeps them)
+        out = join_null_safe(out, r, group_by) if group_by else out.crossJoin(r)
     # restore requested op order
     names = group_by + [n for op in ops for n in _out_names(op)]
     return out.select(*names)
@@ -375,8 +377,8 @@ def _mad_agg(df: DataFrame, group_by: list[str], ops: list[Op],
                               F.lit(0.5)).alias(f"__med_{op.col}")
                  for op in ops]
     meds = _agg(df, group_by, meds_aggs)
-    joined = df.join(F.broadcast(meds), on=group_by) if group_by \
-        else df.crossJoin(F.broadcast(meds))
+    joined = join_null_safe(df, meds, group_by, broadcast_right=True) \
+        if group_by else df.crossJoin(F.broadcast(meds))
     mad_aggs = [
         F.percentile(
             F.abs(missing.apply(F.col(op.col)).try_cast("double") - F.col(f"__med_{op.col}")),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tsv_utils_spark.functions.joins import join_null_safe
+
 
 def _key_cols(df: DataFrame, keys: list[str] | None, ignore_case: bool):
     # key = whole line when no fields given (tsv-uniq.d:250-254 field 0)
@@ -76,7 +78,8 @@ def uniq(df: DataFrame,
         # range-partition + offset scheme (no single-partition stage).
         firsts = work.groupBy(*knames).agg(F.min(order_col).alias("__first"))
         ids = _assign_dense_ids(firsts, "__first", "equiv_id", equiv_start)
-        return work.join(ids, on=knames).drop(*knames, "__first")
+        # null-safe join: NULL key fields form a real equivalence class
+        return join_null_safe(work, ids, knames).drop(*knames, "__first")
 
     if mode == "number":
         if order_col is None:
@@ -120,8 +123,14 @@ def _assign_dense_ids(firsts, order_col: str, id_col: str, start: int,
 
     spark = firsts.sparkSession
     parts = max(32, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    ranged = firsts.repartitionByRange(parts, F.col(order_col)) \
-                   .sortWithinPartitions(order_col)
+    # Materialize the range partitioning ONCE (localCheckpoint): the
+    # RangePartitioner samples boundaries with an RDD-id-derived seed, so
+    # re-executing repartitionByRange in a second job could place rows in
+    # different partitions than the count job observed, misaligning the
+    # broadcast offsets. Both jobs below read the same checkpointed blocks.
+    ranged = (firsts.repartitionByRange(parts, F.col(order_col))
+                    .sortWithinPartitions(order_col)
+                    .localCheckpoint(eager=True))
     counts = (ranged.withColumn("__pid", F.spark_partition_id())
               .groupBy("__pid").count().orderBy("__pid").collect())
     offsets = {}

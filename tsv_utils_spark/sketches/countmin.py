@@ -21,12 +21,53 @@ unbounded cardinality.
 
 from __future__ import annotations
 
-import pickle
+import json
 import struct
 
 import numpy as np
 
 from tsv_utils_spark.sketches.hashing import hash64, splitmix64
+
+
+def _enc_candidates(cand: dict) -> bytes:
+    """Typed-JSON candidate encoding. Deliberately NOT pickle: blobs round-
+    trip through checkpoint/streaming-state parquet, and unpickling data
+    read back from storage would execute attacker-controlled bytecode.
+    JSON is data-only. Floats/bytes use hex for exact round-trip."""
+    items = []
+    for v, n in cand.items():
+        if v is None:
+            items.append(("n", None, n))
+        elif isinstance(v, bool):
+            items.append(("b", v, n))
+        elif isinstance(v, int):
+            items.append(("i", v, n))
+        elif isinstance(v, float):
+            items.append(("f", v.hex(), n))
+        elif isinstance(v, (bytes, bytearray)):
+            items.append(("B", bytes(v).hex(), n))
+        else:
+            items.append(("s", str(v), n))
+    return json.dumps(items, ensure_ascii=False).encode("utf-8")
+
+
+def _dec_candidates(blob: bytes) -> dict:
+    out: dict = {}
+    for t, v, n in json.loads(blob.decode("utf-8")):
+        if t == "n":
+            key = None
+        elif t == "b":
+            key = bool(v)
+        elif t == "i":
+            key = int(v)
+        elif t == "f":
+            key = float.fromhex(v)
+        elif t == "B":
+            key = bytes.fromhex(v)
+        else:
+            key = v
+        out[key] = int(n)
+    return out
 
 
 class CountMin:
@@ -135,7 +176,7 @@ class CountMin:
         overwhelmingly zeros (a group touches ~distinct-values cells, not
         width*depth). Sparse payload = (uint32 flat index, int64 count)
         pairs; dense = raw table. Whichever is smaller wins."""
-        cand = pickle.dumps(self.candidates, protocol=4)
+        cand = _enc_candidates(self.candidates)
         nz = np.flatnonzero(self.table.reshape(-1))
         sparse_bytes = nz.size * 12
         dense_bytes = self.table.size * 8
@@ -156,7 +197,7 @@ class CountMin:
         off = struct.calcsize("<BIIQII")
         out = cls(depth=depth, width=width, max_candidates=mc)
         out.n = n
-        out.candidates = pickle.loads(blob[off:off + clen])
+        out.candidates = _dec_candidates(blob[off:off + clen])
         off += clen
         if mode:
             (nnz,) = struct.unpack_from("<Q", blob, off)

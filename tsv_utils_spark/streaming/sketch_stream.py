@@ -17,14 +17,15 @@ all-time aggregate: the sketch IS the compacted history).
   output:           finalized estimates per key written to ``out_dir``
 
 Exactly-once: foreachBatch can replay a batch after failure; merging the
-same partial twice would double-count, so the state swap is guarded by the
-batch epoch id recorded in the state directory (skip already-applied
-epochs — the standard idempotent-foreachBatch pattern).
+same partial twice would double-count, so the state swap carries its own
+epoch marker: state for epoch N is committed by atomically renaming the
+tmp dir to ``state-epoch=N`` — the marker IS the state directory name, so
+there is no crash window between "state updated" and "epoch recorded"
+(the standard idempotent-foreachBatch pattern, hardened).
 """
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -77,43 +78,60 @@ def streaming_sketch_agg(stream_df: DataFrame,
     in_names = [f"__in_{i}" for i in range(len(specs))]
     partial_schema = _partial_schema(stream_df, group_by, len(specs))
     final_schema = _final_schema(stream_df, group_by, specs, True)
-    state_path = os.path.join(state_dir, "state.parquet")
-    epoch_path = os.path.join(state_dir, "applied_epochs.json")
     os.makedirs(state_dir, exist_ok=True)
 
-    def applied() -> set[int]:
-        if os.path.exists(epoch_path):
-            with open(epoch_path) as f:
-                return set(json.load(f))
-        return set()
+    def live_state() -> tuple[str | None, int]:
+        """Newest committed state dir (``state-epoch=N`` with _SUCCESS) and
+        its epoch. The directory name is the applied-epoch marker — renamed
+        into place atomically WITH the state, so a crash can never leave
+        'state updated but epoch unrecorded' (which would re-merge the
+        replayed batch and double-count)."""
+        best_path, best_epoch = None, -1
+        for name in os.listdir(state_dir):
+            if not name.startswith("state-epoch="):
+                continue
+            try:
+                e = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            p = os.path.join(state_dir, name)
+            if e > best_epoch and os.path.exists(os.path.join(p, "_SUCCESS")):
+                best_path, best_epoch = p, e
+        return best_path, best_epoch
+
+    def write_estimates(state_path: str) -> None:
+        est = spark.read.parquet(state_path).groupBy(*group_by).applyInPandas(
+            _make_merge_fn(group_by, specs, final_schema, True),
+            schema=final_schema)
+        est.write.mode("overwrite").parquet(out_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        done = applied()
-        if epoch_id in done:
-            return  # replayed batch — already merged (idempotence guard)
+        live_path, live_epoch = live_state()
+        if epoch_id <= live_epoch:
+            # replayed batch — state already committed; refresh the (possibly
+            # stale) estimate output, which is idempotent, and skip the merge
+            write_estimates(live_path)
+            return
         proj = batch_df.select(*group_by, *in_cols)
         partials = proj.mapInPandas(
             _make_partial_fn(group_by, in_names, specs, partial_schema,
                              max_groups_per_partition),
             schema=partial_schema)
-        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
-            old = spark.read.parquet(state_path)
+        if live_path is not None:
+            old = spark.read.parquet(live_path)
             partials = old.unionByName(partials)
         new_state = partials.groupBy(*group_by).applyInPandas(
             _restate_fn(group_by, specs, partial_schema),
             schema=partial_schema)
-        tmp = state_path + f".tmp-{epoch_id}"
+        tmp = os.path.join(state_dir, f".tmp-{epoch_id}")
         new_state.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state_path):
-            shutil.rmtree(state_path)
-        os.rename(tmp, state_path)
-        # finalize current estimates
-        est = spark.read.parquet(state_path).groupBy(*group_by).applyInPandas(
-            _make_merge_fn(group_by, specs, final_schema, True),
-            schema=final_schema)
-        est.write.mode("overwrite").parquet(out_dir)
-        with open(epoch_path, "w") as f:
-            json.dump(sorted(done | {epoch_id}), f)
+        committed = os.path.join(state_dir, f"state-epoch={epoch_id}")
+        if os.path.exists(committed):
+            shutil.rmtree(committed)
+        os.rename(tmp, committed)  # atomic commit: state + epoch marker
+        write_estimates(committed)
+        if live_path is not None:  # prune superseded state (crash-safe)
+            shutil.rmtree(live_path, ignore_errors=True)
 
     writer = (stream_df.writeStream
               .foreachBatch(process)
