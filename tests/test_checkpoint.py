@@ -1,5 +1,6 @@
 """Checkpoint/resume: crash between epochs, resume, estimates identical to
-the single-shot job; lineage + metrics recorded."""
+the single-shot job; lineage + metrics recorded; file-sliced epochs read
+each input byte exactly once (no per-epoch re-scan)."""
 
 from __future__ import annotations
 
@@ -8,6 +9,7 @@ import pytest
 from tsv_utils_spark.plans import SketchSpec, sketch_agg
 from tsv_utils_spark.plans.checkpoint import (
     completed_epochs,
+    epoch_file_groups,
     read_metrics,
     sketch_agg_checkpointed,
 )
@@ -16,9 +18,18 @@ SPECS = [SketchSpec("hll", "l_partkey", "uc"),
          SketchSpec("kll", "l_quantity", "q50", {"quantiles": [0.5]})]
 
 
+@pytest.fixture()
+def multi_file_lineitem(tables, spark, tmp_path):
+    """lineitem written as 8 parquet files — the realistic shape for
+    file-sliced epochs (testdata ships one file per table)."""
+    src = str(tmp_path / "li8")
+    tables["lineitem"].repartition(8).write.parquet(src)
+    return spark.read.parquet(src)
+
+
 class TestCheckpoint:
-    def test_crash_and_resume(self, tables, tmp_path):
-        li = tables["lineitem"]
+    def test_crash_and_resume(self, multi_file_lineitem, tmp_path):
+        li = multi_file_lineitem
         ckpt = str(tmp_path / "ckpt")
 
         # "crash": only epochs 0 and 1 of 4 complete
@@ -43,8 +54,59 @@ class TestCheckpoint:
             .toPandas().set_index("l_returnflag").sort_index()
         assert (out["uc"] == direct["uc"]).all()  # HLL sparse: exact match
 
-    def test_second_call_skips_everything(self, tables, tmp_path):
-        li = tables["lineitem"]
+    def test_single_scan_no_amplification(self, multi_file_lineitem,
+                                          tmp_path):
+        """Across ALL epochs, the per-epoch input file sets are disjoint and
+        their union is exactly the full input — total bytes scanned equals
+        one full scan, not epochs x scan."""
+        li = multi_file_lineitem
+        ckpt = str(tmp_path / "ckpt_scan")
+        sketch_agg_checkpointed(li, ["l_returnflag"], SPECS[:1], ckpt,
+                                epochs=4).collect()
+        groups = epoch_file_groups(ckpt)
+        assert groups is not None and len(groups) == 4
+        seen: set[str] = set()
+        for g in groups:
+            assert g, "every epoch should get files (8 files / 4 epochs)"
+            assert not (seen & set(g)), "epoch file slices must be disjoint"
+            seen |= set(g)
+        assert seen == set(li.inputFiles())
+
+    def test_transform_reproduces_lineage(self, multi_file_lineitem,
+                                          tmp_path):
+        """Scan -> filter lineage is re-applied per epoch slice via
+        ``transform`` and matches the direct filtered job."""
+        li = multi_file_lineitem
+        ckpt = str(tmp_path / "ckpt_tf")
+
+        def keep_big(d):
+            return d.filter(d.l_quantity > 25)
+
+        out = sketch_agg_checkpointed(
+            li, ["l_returnflag"], SPECS[:1], ckpt, epochs=3,
+            transform=keep_big).toPandas().set_index("l_returnflag")
+        direct = sketch_agg(keep_big(li), ["l_returnflag"], SPECS[:1]) \
+            .toPandas().set_index("l_returnflag")
+        assert (out.sort_index()["uc"] == direct.sort_index()["uc"]).all()
+
+    def test_fallback_hash_slicing_for_memory_df(self, spark, tmp_path):
+        """Non-file-backed input falls back to the hash slice; resume and
+        totals still hold."""
+        df = spark.range(0, 5000).selectExpr(
+            "cast(id % 7 as string) AS k", "id AS v")
+        specs = [SketchSpec("hll", "v", "uc")]
+        ckpt = str(tmp_path / "ckpt_mem")
+        with pytest.raises(RuntimeError, match="resume"):
+            sketch_agg_checkpointed(df, ["k"], specs, ckpt, epochs=3,
+                                    _run_epochs=[0])
+        out = sketch_agg_checkpointed(df, ["k"], specs, ckpt, epochs=3)
+        assert out.count() == 7
+        assert epoch_file_groups(ckpt) is None  # no manifest => hash slice
+        assert sum(m["rows"] for m in read_metrics(ckpt)) == 5000
+
+    def test_second_call_skips_everything(self, multi_file_lineitem,
+                                          tmp_path):
+        li = multi_file_lineitem
         ckpt = str(tmp_path / "ckpt2")
         sketch_agg_checkpointed(li, ["l_linestatus"], SPECS[:1], ckpt,
                                 epochs=2).collect()
@@ -54,8 +116,9 @@ class TestCheckpoint:
         # no new epochs were computed on the second call
         assert len(read_metrics(ckpt)) == n_metrics
 
-    def test_lineage_columns_present(self, tables, tmp_path, spark):
-        li = tables["lineitem"]
+    def test_lineage_columns_present(self, multi_file_lineitem, tmp_path,
+                                     spark):
+        li = multi_file_lineitem
         ckpt = str(tmp_path / "ckpt3")
         sketch_agg_checkpointed(li, ["l_returnflag"], SPECS[:1], ckpt,
                                 epochs=2).collect()

@@ -37,13 +37,18 @@ def main() -> None:
     ap.add_argument("--checkpoint", default="/tmp/tsv_spark_pipeline_ckpt")
     ap.add_argument("--out", default="/tmp/tsv_spark_pipeline_out")
     ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--src", default="",
+                    help="parquet dir for the source table; when set, the "
+                         "table is materialized there once and epochs are "
+                         "FILE slices (single total scan — the 100 TB "
+                         "shape). Default: in-memory synthesis, hash-slice "
+                         "fallback (re-generates per epoch).")
     ap.add_argument("--cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
 
     spark = get_spark("pipeline", cores=args.cores,
                       shuffle_partitions=args.cores)
-    df = synthesize_source_code_table(spark, args.rows)
 
     specs = [
         SketchSpec("hll", "path", "distinct_paths"),
@@ -53,12 +58,27 @@ def main() -> None:
     ]
     from pyspark.sql import functions as F
 
-    work = df.select("repo", "path", "lang",
-                     F.length("content").alias("content_len"))
+    def project(d):
+        return d.select("repo", "path", "lang",
+                        F.length("content").alias("content_len"))
+
     t0 = time.perf_counter()
-    result = sketch_agg_checkpointed(work, ["repo"], specs,
-                                     checkpoint_dir=args.checkpoint,
-                                     epochs=args.epochs, include_rows=True)
+    if args.src:
+        if not os.path.exists(os.path.join(args.src, "_SUCCESS")):
+            synthesize_source_code_table(spark, args.rows) \
+                .write.mode("overwrite").parquet(args.src)
+        df = spark.read.parquet(args.src)
+        result = sketch_agg_checkpointed(df, ["repo"], specs,
+                                         checkpoint_dir=args.checkpoint,
+                                         epochs=args.epochs,
+                                         include_rows=True,
+                                         transform=project)
+    else:
+        work = project(synthesize_source_code_table(spark, args.rows))
+        result = sketch_agg_checkpointed(work, ["repo"], specs,
+                                         checkpoint_dir=args.checkpoint,
+                                         epochs=args.epochs,
+                                         include_rows=True)
     result.write.mode("overwrite").parquet(args.out)
     wall = time.perf_counter() - t0
 

@@ -2,10 +2,20 @@
 
 North-rule ops hardening: a 10^12-row sketch job must survive pre-emption.
 Because sketch partials are tiny, mergeable blobs, the natural checkpoint
-unit is an EPOCH: a deterministic slice of the input (epoch =
-pmod(xxhash64(row), E)). Each epoch runs as its own Spark job whose partial
-blobs land in ``{dir}/partials/epoch=i`` (parquet commit protocol makes
-the write atomic: either ``_SUCCESS`` exists or the epoch reruns).
+unit is an EPOCH — a deterministic slice of the input. Each epoch runs as
+its own Spark job whose partial blobs land in ``{dir}/partials/epoch=i``
+(parquet commit protocol makes the write atomic: either ``_SUCCESS``
+exists or the epoch reruns).
+
+Epoch slicing (the 100-TB-critical part): when the input is a file-backed
+scan, epochs are FILE SLICES — a round-robin split of the sorted input
+file list, recorded in ``{dir}/manifest.json`` at first run so resumes
+slice identically even if the directory changed. Each epoch's job reads
+ONLY its files, so total bytes scanned across all epochs equals ONE full
+scan — no read amplification (the earlier hash-of-row slicing re-scanned
+the whole table once per epoch: E× amplification, a scale-killer when the
+scan IS the cost). Non-file inputs (in-memory test DataFrames) fall back
+to the hash slice, where the E× re-scan is harmless.
 
 Resume = skip epochs whose ``_SUCCESS`` marker exists, compute the rest,
 final-merge over ALL epochs' partials. Estimates are identical to the
@@ -47,6 +57,16 @@ def _lineage_partial_schema(df, group_by, n_specs) -> T.StructType:
          T.StructField("partition_id", T.IntegerType())] + list(base.fields))
 
 
+def epoch_file_groups(checkpoint_dir: str) -> list[list[str]] | None:
+    """The committed file slicing for this checkpoint (None = hash slicing)."""
+    path = os.path.join(checkpoint_dir, "manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        man = json.load(f)
+    return [man["files"][e::man["epochs"]] for e in range(man["epochs"])]
+
+
 def sketch_agg_checkpointed(df: DataFrame,
                             group_by: list[str],
                             specs: list[SketchSpec],
@@ -54,8 +74,16 @@ def sketch_agg_checkpointed(df: DataFrame,
                             epochs: int = 8,
                             include_rows: bool = False,
                             max_groups_per_partition: int = 100_000,
+                            transform=None,
                             _run_epochs: list[int] | None = None) -> DataFrame:
     """Resumable two-level sketch aggregation.
+
+    When ``df`` is a parquet scan, each epoch re-reads only its slice of
+    the input files (single-scan total; see module docstring). ``df`` must
+    then be the raw scan — if there is lineage between the scan and the
+    aggregation input (filters, derived columns), pass it as ``transform``
+    (a ``DataFrame -> DataFrame`` callable) so each epoch slice reproduces
+    it. Non-file-backed inputs use the hash-of-row slice.
 
     ``_run_epochs`` limits which missing epochs are computed this call
     (test hook for simulating a crash between epochs).
@@ -64,13 +92,43 @@ def sketch_agg_checkpointed(df: DataFrame,
     group_by = list(group_by)
     in_cols = [spec.input_expr(i) for i, spec in enumerate(specs)]
     in_names = [f"__in_{i}" for i in range(len(specs))]
-    epoch_col = _epoch_expr(df, epochs).alias("__epoch")
-    proj = df.select(*group_by, *in_cols, epoch_col)
 
     partial_schema = _lineage_partial_schema(df, group_by, len(specs))
     partials_root = os.path.join(checkpoint_dir, "partials")
     metrics_path = os.path.join(checkpoint_dir, "metrics.jsonl")
+    manifest_path = os.path.join(checkpoint_dir, "manifest.json")
     os.makedirs(checkpoint_dir, exist_ok=True)
+
+    files = sorted(df.inputFiles())
+    use_files = bool(files) and all(f.endswith(".parquet") for f in files)
+    if os.path.exists(manifest_path):
+        # resume MUST slice exactly as the original run did, even if files
+        # were added/compacted since — the manifest is the commit
+        with open(manifest_path) as f:
+            man = json.load(f)
+        if man["epochs"] != epochs:
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir} was started with "
+                f"epochs={man['epochs']}, not {epochs}")
+        files, use_files = man["files"], bool(man["files"])
+    elif use_files:
+        with open(manifest_path, "w") as f:
+            json.dump({"files": files, "epochs": epochs}, f)
+
+    if use_files:
+        groups = [files[e::epochs] for e in range(epochs)]
+
+        def epoch_input(e: int) -> DataFrame | None:
+            if not groups[e]:
+                return None  # more epochs than files — empty slice
+            src = spark.read.parquet(*groups[e])
+            return transform(src) if transform is not None else src
+    else:
+        proj_all = df.select(
+            "*", _epoch_expr(df, epochs).alias("__epoch"))
+
+        def epoch_input(e: int) -> DataFrame | None:
+            return proj_all.filter(F.col("__epoch") == e).drop("__epoch")
 
     done = completed_epochs(checkpoint_dir)
     todo = [e for e in range(epochs) if e not in done]
@@ -84,20 +142,26 @@ def sketch_agg_checkpointed(df: DataFrame,
 
     for e in todo:
         t0 = time.perf_counter()
-        slice_df = proj.filter(F.col("__epoch") == e).drop("__epoch")
-        if 1 <= len(group_by) <= MAX_ARROW_KEYS:
-            partial = slice_df.mapInArrow(
-                make_arrow_partial_fn(group_by, in_names, specs,
-                                      partial_schema,
-                                      max_groups_per_partition,
-                                      lineage_epoch=e),
-                schema=partial_schema)
-        else:
-            partial = slice_df.mapInPandas(
-                _make_partial_fn(group_by, in_names, specs, partial_schema,
-                                 max_groups_per_partition, lineage_epoch=e),
-                schema=partial_schema)
+        src = epoch_input(e)
         out_path = os.path.join(partials_root, f"epoch={e}")
+        if src is None:
+            partial = spark.createDataFrame([], partial_schema)
+        else:
+            slice_df = src.select(*group_by, *in_cols)
+            if 1 <= len(group_by) <= MAX_ARROW_KEYS:
+                partial = slice_df.mapInArrow(
+                    make_arrow_partial_fn(group_by, in_names, specs,
+                                          partial_schema,
+                                          max_groups_per_partition,
+                                          lineage_epoch=e),
+                    schema=partial_schema)
+            else:
+                partial = slice_df.mapInPandas(
+                    _make_partial_fn(group_by, in_names, specs,
+                                     partial_schema,
+                                     max_groups_per_partition,
+                                     lineage_epoch=e),
+                    schema=partial_schema)
         partial.write.mode("overwrite").parquet(out_path)
         dt = time.perf_counter() - t0
         stats = spark.read.parquet(out_path) \
