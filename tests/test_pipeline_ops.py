@@ -202,6 +202,27 @@ class TestConnectedComponents:
         assert out.loc[11, "component"] == 10
         assert out.loc[21, "component"] == 20
 
+    def test_deep_chain_converges_with_bounded_plan(self, spark):
+        """A 1000-link chain has diameter 1000 — far beyond a per-round
+        min-propagation budget. The pointer-jump step must close it in
+        O(log d) rounds, and per-round localCheckpoint must keep the plan
+        depth constant (not growing with iterations)."""
+        import pandas as pd
+
+        from tsv_utils_spark.operators.dedup import connected_components
+
+        n = 1000
+        pairs = spark.createDataFrame(pd.DataFrame(
+            {"id_a": list(range(n)), "id_b": list(range(1, n + 1))}))
+        labels = connected_components(pairs, max_iter=30)
+        out = labels.toPandas()
+        assert (out["component"] == 0).all()  # one component, min id 0
+        assert len(out) == n + 1
+        # bounded plan depth: the returned frame reads a checkpointed RDD,
+        # so its plan does not encode 30 rounds of joins
+        plan = labels._jdf.queryExecution().optimizedPlan().toString()
+        assert len(plan) < 2000, f"plan unexpectedly deep: {len(plan)} chars"
+
 
 class TestDistributedIds:
     def test_matches_window_rank(self, spark):

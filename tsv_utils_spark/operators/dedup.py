@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from tsv_utils_spark.sketches.minhash import (
     band_keys,
-    jaccard_exact,
     signature_matrix,
 )
 from tsv_utils_spark.sketches.simhash import simhash_batch
@@ -46,7 +45,9 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str,
 
 
 def _tokenize_expr(col: str):
-    return F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    # coalesce: NULL content tokenizes like empty content (the pandas
+    # paths fillna("") — keep the JVM verify path consistent)
+    return F.split(F.trim(F.lower(F.coalesce(F.col(col), F.lit("")))), r"\s+")
 
 
 def minhash_signatures(df: DataFrame, content_col: str, id_col: str,
@@ -105,27 +106,15 @@ def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
                       F.col(f"b.{id_col}").alias("id_b"))
               .dropDuplicates(["id_a", "id_b"]))
 
-    # exact verify: join content back, compute true n-gram Jaccard per pair
-    content = df.select(F.col(id_col), F.col(content_col).alias("__c"))
-    withc = (pairs
-             .join(content.withColumnRenamed(id_col, "id_a")
-                          .withColumnRenamed("__c", "__ca"), "id_a")
-             .join(content.withColumnRenamed(id_col, "id_b")
-                          .withColumnRenamed("__c", "__cb"), "id_b"))
-
-    def verify(batches):
-        for pdf in batches:
-            ja = [
-                jaccard_exact(str(ca).lower().split(), str(cb).lower().split(),
-                              n=shingle_n)
-                for ca, cb in zip(pdf["__ca"], pdf["__cb"])
-            ]
-            out = pdf[["id_a", "id_b"]].copy()
-            out["jaccard"] = ja
-            yield out[out["jaccard"] >= threshold]
-
-    verified = withc.mapInPandas(
-        verify, schema="id_a long, id_b long, jaccard double")
+    # exact verify: JVM-side n-gram Jaccard (array_intersect/array_union on
+    # shingle arrays) — zero Python after signature generation. Equivalent
+    # to the per-pair jaccard_exact() python loop it replaced: same
+    # tokenization (lower + whitespace split), same short-doc rule (one
+    # whole-doc shingle when tokens < n), and shingle-string set algebra
+    # equals shingle-hash set algebra.
+    verified = ngram_jaccard_pairs(df, content_col, id_col, pairs,
+                                   shingle_n=shingle_n) \
+        .where(F.col("jaccard") >= threshold)
 
     # representative = min id in the verified near-dup component (full
     # transitive closure via iterative min-propagation)
@@ -230,35 +219,54 @@ def embedding_dedup(df: DataFrame, vec_col: str, id_col: str,
     return j.select("id_a", "id_b", cos).where(F.col("score") >= threshold)
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Transitive closure of near-dup pairs: (id, component) where
-    component = min id reachable. Iterative min-propagation (simplified
-    large-star): each round joins current labels across edges and takes
-    the min; converges in O(diameter) rounds — near-dup clusters are
-    shallow, so max_iter=10 covers practical corpora. Each iteration is
-    checkpoint-free pure DataFrame ops (two shuffles)."""
+    component = min id reachable.
+
+    Scale-hardened iteration: each round does (1) min-propagation across
+    edges and (2) a pointer-jump l(u) <- l(l(u)) — the path-compression
+    step that makes long chains converge in O(log diameter) rounds instead
+    of O(diameter) (the large-star idea of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14). Labels are
+    localCheckpoint-ed every round, so plan depth and recompute cost stay
+    CONSTANT per round rather than accumulating lineage quadratically,
+    and the convergence probe is a cheap filter over the already-
+    materialized round (labels only ever decrease: no decrease anywhere
+    means every edge is label-consistent and every pointer is a root —
+    converged)."""
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (edges.select(F.col("a").alias("id"))
               .unionByName(edges.select(F.col("b").alias("id")))
               .distinct()
-              .withColumn("component", F.col("id")))
+              .withColumn("component", F.col("id"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
-        # neighbor's current label, propagated across each edge
-        prop = (edges.join(labels.withColumnRenamed("id", "b"), "b")
+        # (1) min over neighbors' current labels, propagated across edges
+        prop = (edges.join(labels.withColumnRenamed("id", "b")
+                                 .withColumnRenamed("component", "__nbr"),
+                           "b")
                      .groupBy(F.col("a").alias("id"))
-                     .agg(F.min("component").alias("nbr_min")))
-        new_labels = (labels.join(prop, "id", "left")
-                      .select("id",
-                              F.least("component",
-                                      F.coalesce("nbr_min", "component"))
-                               .alias("component")))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.component") != F.col("o.component"))
+                     .agg(F.min("__nbr").alias("__nbr_min")))
+        stepped = (labels.join(prop, "id", "left")
+                   .select("id", F.col("component").alias("__old"),
+                           F.least("component",
+                                   F.coalesce("__nbr_min", "component"))
+                            .alias("component")))
+        # (2) pointer jump: follow the label one hop (labels are node ids,
+        # so every label value has a row; left join + coalesce for safety)
+        jump = stepped.select(F.col("id").alias("__jid"),
+                              F.col("component").alias("__jcomp"))
+        new_labels = (stepped.join(
+            jump, stepped["component"] == jump["__jid"], "left")
+            .select("id", "__old",
+                    F.least(F.coalesce("__jcomp", "component"), "component")
+                     .alias("component"))
+            .localCheckpoint(eager=True))
+        changed = (new_labels.where(F.col("component") < F.col("__old"))
                    .limit(1).count())
-        labels = new_labels
+        labels = new_labels.drop("__old")
         if not changed:
             break
     return labels

@@ -19,9 +19,22 @@ from pyspark.sql import functions as F
 
 def number_lines(df: DataFrame, order_col: str, start: int = 1,
                  out_col: str = "line") -> DataFrame:
-    """Global line numbers by order_col. Window-based: exact, but the
-    global sort serializes through one task for the final numbering —
-    fine for ordered exports, use ``number_lines_distributed`` for bulk."""
+    """Global line numbers by order_col — DISTRIBUTED by default: range-
+    partition on order_col, sort within partitions, then per-partition
+    offsets. Identical numbering to a global row_number window, with no
+    single-task bottleneck. Use ``number_lines_window`` only when you
+    specifically want the window plan (small ordered exports)."""
+    spark = df.sparkSession
+    parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    ranged = (df.repartitionByRange(parts, F.col(order_col))
+                .sortWithinPartitions(order_col))
+    return number_lines_distributed(ranged, start, out_col)
+
+
+def number_lines_window(df: DataFrame, order_col: str, start: int = 1,
+                        out_col: str = "line") -> DataFrame:
+    """Window-based numbering: exact, but the global sort serializes
+    through one task for the final numbering — the opt-in variant."""
     w = Window.orderBy(F.col(order_col))
     return df.withColumn(out_col,
                          F.row_number().over(w) + (start - 1)) \
@@ -32,7 +45,10 @@ def number_lines_distributed(df: DataFrame, start: int = 1,
                              out_col: str = "line") -> DataFrame:
     """Scale path: per-partition counts -> offsets (tiny driver step) ->
     per-partition running index. No global sort; numbering follows the
-    current partition order (stable for a fresh file scan)."""
+    current partition order. The input partitioning is materialized once
+    (localCheckpoint) so the count job and the numbering job cannot
+    observe different partition placements (nondeterministic shuffles)."""
+    df = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     counts = (df.withColumn("__pid", F.spark_partition_id())
                 .groupBy("__pid").count().orderBy("__pid").collect())

@@ -73,13 +73,17 @@ def image_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
     """
     def gen(batches):
         for pdf in batches:
+            # decode is inherently per-item, but the batch iteration is
+            # zip-over-ndarrays (iterrows would box every row into a
+            # Series — the slowest iteration pandas offers)
+            sub = pdf[(pdf["kind"] == "image") & pdf["payload"].notna()]
             ids, means, stds, shas = [], [], [], []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image" or r["payload"] is None:
-                    continue
-                px = _decode_image_stub(bytes(r["payload"]),
-                                        int(r["width"]), int(r["height"]))
-                ids.append(r["media_id"])
+            for mid, payload, w, h in zip(sub["media_id"].to_numpy(),
+                                          sub["payload"].to_numpy(),
+                                          sub["width"].to_numpy(),
+                                          sub["height"].to_numpy()):
+                px = _decode_image_stub(bytes(payload), int(w), int(h))
+                ids.append(mid)
                 means.append(float(px.mean()))
                 stds.append(float(px.std()))
                 shas.append(hashlib.sha256(px.tobytes()).hexdigest())
@@ -100,16 +104,17 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     payload bytes. Shows the binary-in/binary-out operator shape."""
     def gen(batches):
         for pdf in batches:
+            sub = pdf[(pdf["kind"] == "image") & pdf["payload"].notna()]
             out = {"media_id": [], "payload": []}
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image" or r["payload"] is None:
-                    continue
-                px = _decode_image_stub(bytes(r["payload"]),
-                                        int(r["width"]), int(r["height"]))
+            for mid, payload, w, h in zip(sub["media_id"].to_numpy(),
+                                          sub["payload"].to_numpy(),
+                                          sub["width"].to_numpy(),
+                                          sub["height"].to_numpy()):
+                px = _decode_image_stub(bytes(payload), int(w), int(h))
                 yi = (np.linspace(0, px.shape[0] - 1, out_h)).astype(int)
                 xi = (np.linspace(0, px.shape[1] - 1, out_w)).astype(int)
                 small = px[np.ix_(yi, xi)]
-                out["media_id"].append(r["media_id"])
+                out["media_id"].append(mid)
                 out["payload"].append(zlib.compress(small.tobytes()))
             yield pd.DataFrame({"media_id": pd.Series(out["media_id"],
                                                       dtype="int64"),
