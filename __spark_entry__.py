@@ -567,6 +567,32 @@ def q_sample_topk_det(spark, sf_dir):
         .limit(100).select("l_orderkey", "l_linenumber")
 
 
+@q("sample_replacement_det", """
+WITH numbered AS (
+  SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+  FROM documents
+), counts AS (
+  SELECT (1103515245 * i + 12345) % (SELECT count(*) FROM documents) AS idx,
+         count(*) AS m
+  FROM range(500) t(i) GROUP BY 1
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, unnest(range(m)) AS r
+  FROM numbered JOIN counts USING (idx)
+)
+""")
+def q_sample_replacement_det(spark, sf_dir):
+    # exact-N with-replacement (tsv-sample.d:1571-1598): 500 draws over
+    # documents; the deterministic LCG draw replaces rand() so DuckDB can
+    # replicate the multiset exactly (duplicates included)
+    from tsv_utils_spark.operators.sample import sample_with_replacement
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_with_replacement(
+        d, 500, order_col="doc_id",
+        draw_expr=lambda i, total: (F.lit(1103515245) * i + 12345) % total)
+
+
 # ----------------------------------------------------- tsv-split /select
 @q("split_bucket_det", """
 SELECT bucket, count(*) AS n FROM (

@@ -127,7 +127,11 @@ class TestSummarize:
         out = summarize(df, ["k"], [Op.values("v"), Op.unique_values("v")],
                         order_col="rid").toPandas()
         assert out["v_values"][0] == "z|m|z"  # input order via rid
-        assert out["v_unique_values"][0] == "m|z"  # canonical sorted
+        # first-seen order when order_col given (tsv-summarize.d:4250)
+        assert out["v_unique_values"][0] == "z|m"
+        # canonical sorted without an order column
+        out2 = summarize(df, ["k"], [Op.unique_values("v")]).toPandas()
+        assert out2["v_unique_values"][0] == "m|z"
 
     def test_no_group(self, tables, li_pdf):
         out = summarize(tables["lineitem"], None,
@@ -311,6 +315,33 @@ class TestSample:
         assert len(w) == 200
         # weighted sampling should skew toward high weights
         assert w["l_quantity"].mean() > tables["lineitem"].toPandas()["l_quantity"].mean()
+
+    def test_with_replacement_exact_n(self, tables, spark):
+        from tsv_utils_spark.operators.sample import sample_with_replacement
+
+        r = tables["region"]  # 5 rows
+        out = sample_with_replacement(r, 40, order_col="r_regionkey",
+                                      seed=13).toPandas()
+        assert len(out) == 40  # EXACTLY n, not expected-n
+        # 40 draws over 5 rows must repeat (pigeonhole)
+        assert out["r_regionkey"].duplicated().any()
+        # every drawn row is a real input row
+        keys = set(r.toPandas()["r_regionkey"])
+        assert set(out["r_regionkey"]) <= keys
+        # deterministic under fixed seed
+        again = sample_with_replacement(r, 40, order_col="r_regionkey",
+                                        seed=13).toPandas()
+        a = sorted(out["r_regionkey"]); b = sorted(again["r_regionkey"])
+        assert a == b
+        # roughly uniform at larger n over lineitem order keys
+        li = tables["lineitem"].select("l_orderkey", "l_linenumber")
+        n = li.count()
+        s = sample_with_replacement(li, n, seed=13)
+        assert s.count() == n
+
+    def test_sample_dispatch_replacement(self, tables):
+        out = sample(tables["nation"], "replacement", n=50, seed=3)
+        assert out.count() == 50
 
     def test_compat_superset_property(self, tables):
         li = tables["lineitem"].withColumn("rid", F.monotonically_increasing_id())

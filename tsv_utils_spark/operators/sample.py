@@ -91,13 +91,65 @@ def sample(df: DataFrame,
         return out
 
     if mode == "replacement":
-        if n is None or p is None:
-            # reference takes --n over materialized lines; distributed form
-            # uses a fraction (n / count) — caller supplies either
-            raise ValueError("replacement needs p (expected fraction) or n with p")
+        # exact-N draws (tsv-sample.d:1571-1598) when n is given; the
+        # fraction form (expected-size, Poisson per row) when only p is
+        if n is not None:
+            return sample_with_replacement(df, n, order_col=inorder_col,
+                                           seed=seed)
+        if p is None:
+            raise ValueError("replacement needs n (exact draws) or p "
+                             "(expected fraction)")
         return df.sample(True, p, seed)
 
     raise ValueError(f"bad mode {mode!r}")
+
+
+def sample_with_replacement(df: DataFrame, n: int,
+                            order_col: str | None = None,
+                            seed: int = 2438424139,
+                            draw_expr=None) -> DataFrame:
+    """EXACTLY n rows drawn uniformly with replacement — the reference's
+    --r|replacement semantics (tsv-sample.d:1571-1598 buffers all lines
+    and draws n indices; here the multinomial is distributed).
+
+    Plan: number rows 0..L-1 (per-partition offsets, no global sort —
+    ordered by ``order_col`` when given, else current partition order),
+    materialize the n draw indices as a tiny relation ``spark.range(n)``,
+    reduce it to (index, multiplicity) — the multinomial counts — then one
+    broadcast join + sequence-explode replicates each chosen row its
+    multiplicity. Shuffle cost is O(distinct draws), not O(n·row_width),
+    and the big side moves ZERO rows that were never drawn.
+
+    ``draw_expr(i_col, L)`` overrides the draw index for draw number i
+    (default ``floor(rand(seed)*L)``) — deterministic twins use this.
+    """
+    from tsv_utils_spark.operators.misc import (
+        number_lines,
+        number_lines_distributed,
+    )
+
+    spark = df.sparkSession
+    if order_col is not None:
+        numbered = number_lines(df, order_col, start=0, out_col="__idx")
+    else:
+        numbered = number_lines_distributed(df, start=0, out_col="__idx")
+    total = numbered.count()
+    if total == 0:
+        return df
+    if draw_expr is not None:
+        draw = draw_expr(F.col("id"), total)
+    else:
+        draw = F.floor(F.rand(seed) * total).cast("long")
+    counts = (spark.range(n).select(draw.alias("__idx"))
+              .groupBy("__idx").agg(F.count(F.lit(1)).alias("__m")))
+    # counts has <= min(n, L) rows of two longs — broadcast while that
+    # comfortably fits an executor; fall back to a shuffle join for huge n
+    if n <= 4_000_000:
+        counts = F.broadcast(counts)
+    out = (numbered.join(counts, "__idx")
+           .withColumn("__rep", F.explode(F.sequence(F.lit(1), F.col("__m"))))
+           .drop("__idx", "__m", "__rep"))
+    return out
 
 
 def gen_random_inorder(df: DataFrame, weight: str | None = None,

@@ -174,11 +174,23 @@ def summarize(df: DataFrame,
     ``group_by=None/[]`` = whole-table summary (NoKeySummarizer,
     tsv-summarize.d:842). ``order_col`` supplies the total order standing
     in for the reference's input order (first/last/mode-tiebreak/values).
+    When omitted and the input is a fresh file scan, a (file, offset)
+    ``row_id`` is derived automatically (functions.rowid) so
+    first/last/values reproduce the reference's input order
+    (tsv-summarize.d:4187) with no shuffle; for non-file inputs,
+    first/last raise and values fall back to canonical value order.
     ``strict_numeric=True`` restores the reference's abort-on-non-numeric
     behavior (tsv-summarize.d:649-659) — default is Spark's lazy
     cast-to-null.
     """
     group_by = list(group_by or [])
+    if order_col is None and any(op.kind in ("first", "last", "values")
+                                 for op in ops):
+        from tsv_utils_spark.functions.rowid import ROW_ID_COL, try_input_row_id
+
+        derived = try_input_row_id(df)
+        if derived is not None:
+            df, order_col = derived, ROW_ID_COL
     if strict_numeric:
         from tsv_utils_spark.operators.filter import assert_numeric
 
@@ -321,6 +333,15 @@ def _simple_agg(op: Op, missing: MissingPolicy, order_col: str | None) -> list[C
         return [F.array_join(ordered, delim).alias(name)]
     if op.kind == "unique_values":
         delim = op.params["delimiter"]
+        if order_col:
+            # reference first-seen order (tsv-summarize.d:4250): sort the
+            # (order, value) pairs by order, project values, then
+            # array_distinct keeps each value's FIRST occurrence
+            arr = F.array_agg(F.struct(F.col(order_col).alias("o"),
+                                       src.alias("v")))
+            firsts = F.array_distinct(
+                F.transform(F.array_sort(arr), lambda s: s["v"]))
+            return [F.array_join(firsts, delim).alias(name)]
         return [F.array_join(F.array_sort(F.collect_set(src)), delim).alias(name)]
     raise AssertionError(op.kind)
 

@@ -54,10 +54,25 @@ def uniq(df: DataFrame,
     - 'repeated' — only rows whose occurrence number is in
                    [at_least, at_most] (--r/--a/--m, :256-261,:454-459;
                    needs order_col for exact reference semantics).
+
+    When ``order_col`` is omitted and the input is a fresh file scan, a
+    (file, offset) ``row_id`` is derived automatically (functions.rowid)
+    so every mode gets exact reference input-order semantics for free.
     """
+    keys = list(keys or df.columns)  # resolve BEFORE any derived column
+    auto_order = None
+    if order_col is None:
+        from tsv_utils_spark.functions.rowid import ROW_ID_COL, try_input_row_id
+
+        derived = try_input_row_id(df)
+        if derived is not None:
+            df, order_col, auto_order = derived, ROW_ID_COL, ROW_ID_COL
     kc = _key_cols(df, keys, ignore_case)
-    knames = [f"__k_{k}" for k in (keys or df.columns)]
+    knames = [f"__k_{k}" for k in keys]
     work = df.select("*", *kc)
+    def drop_auto(out: DataFrame) -> DataFrame:
+        # hide the auto-derived order column from the mode's output
+        return out.drop(auto_order) if auto_order else out
 
     if mode == "uniq":
         if order_col is None:
@@ -66,7 +81,7 @@ def uniq(df: DataFrame,
             w = Window.partitionBy(*knames).orderBy(F.col(order_col))
             out = (work.withColumn("__rn", F.row_number().over(w))
                        .filter(F.col("__rn") == 1).drop("__rn"))
-        return out.drop(*knames)
+        return drop_auto(out.drop(*knames))
 
     if mode == "equiv":
         if order_col is None:
@@ -79,13 +94,15 @@ def uniq(df: DataFrame,
         firsts = work.groupBy(*knames).agg(F.min(order_col).alias("__first"))
         ids = _assign_dense_ids(firsts, "__first", "equiv_id", equiv_start)
         # null-safe join: NULL key fields form a real equivalence class
-        return join_null_safe(work, ids, knames).drop(*knames, "__first")
+        return drop_auto(
+            join_null_safe(work, ids, knames).drop(*knames, "__first"))
 
     if mode == "number":
         if order_col is None:
             raise ValueError("number mode needs order_col")
         w = Window.partitionBy(*knames).orderBy(F.col(order_col))
-        return work.withColumn("equiv_count", F.row_number().over(w)).drop(*knames)
+        return drop_auto(work.withColumn(
+            "equiv_count", F.row_number().over(w)).drop(*knames))
 
     if mode == "repeated":
         lo = at_least if at_least is not None else 2
@@ -95,11 +112,12 @@ def uniq(df: DataFrame,
             cond = F.col("__rn") >= lo
             if at_most is not None:
                 cond = cond & (F.col("__rn") <= at_most)
-            return num.filter(cond).drop("__rn", *knames)
+            return drop_auto(num.filter(cond).drop("__rn", *knames))
         # order-free variant: keys occurring >= lo times (set semantics)
         cw = Window.partitionBy(*knames)
-        return (work.withColumn("__cnt", F.count(F.lit(1)).over(cw))
-                    .filter(F.col("__cnt") >= lo).drop("__cnt", *knames))
+        return drop_auto(
+            work.withColumn("__cnt", F.count(F.lit(1)).over(cw))
+                .filter(F.col("__cnt") >= lo).drop("__cnt", *knames))
 
     raise ValueError(f"bad mode {mode!r}")
 
