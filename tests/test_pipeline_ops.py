@@ -170,17 +170,64 @@ class TestMultimodal:
         assert (frames.groupby("media_id").size() >= 1).all()
 
 
+# GraphemeBreakTest-style vectors: (text, expected cluster count, rule).
+# One entry per UAX #29 rule the segmenter implements (GB3-GB13, GB999).
+_GRAPHEME_VECTORS = [
+    ("", 0, "empty"),
+    ("abc", 3, "GB999 plain"),
+    ("a\r\nb", 3, "GB3 CRLF is one cluster"),
+    ("a\rb", 3, "GB4 CR alone breaks"),
+    ("a\tb", 3, "GB4/5 control is its own cluster"),
+    ("a\u200bb", 3, "GB5 ZWSP (Cf control) breaks"),
+    ("\u1100\u1161\u11a8", 1, "GB6-8 L V T one syllable"),
+    ("\u1100\uac00", 1, "GB6 L x LV"),
+    ("\uac00\u11a8", 1, "GB7 LV x T"),
+    ("\uac01\u11a8", 1, "GB8 LVT x T"),
+    ("\u1161\u1161", 1, "GB7 V x V"),
+    ("\uac00\uac00", 2, "LV then LV breaks (two syllables)"),
+    ("e\u0301", 1, "GB9 combining mark extends"),
+    ("cafe\u0301", 4, "GB9 in context"),
+    ("\u0915\u093e", 1, "GB9a spacing mark (Mc) attaches"),
+    ("\u0928\u092e\u0938\u094d\u0924\u0947", 4,
+     "GB9/9a Devanagari namaste"),
+    ("\u0600\u0661", 1, "GB9b Prepend attaches following char"),
+    ("\u0d4e\u0d15", 1, "GB9b Malayalam pre-base"),
+    ("a\u200db", 2, "GB11 negative: ZWJ between non-pictographic breaks"),
+    ("\U0001F469\u200d\U0001F4bb", 1, "GB11 woman+ZWJ+laptop"),
+    ("\U0001F469\u200d\U0001F469\u200d\U0001F467\u200d\U0001F466", 1,
+     "GB11 4-person family"),
+    ("\U0001F44D\U0001F3FD", 1, "GB9 skin-tone modifier extends"),
+    ("\u2764\ufe0f", 1, "GB9 variation selector extends"),
+    ("\U0001F1FA\U0001F1F8", 1, "GB12 flag pair"),
+    ("\U0001F1FA\U0001F1F8\U0001F1E9\U0001F1EA", 2, "GB12/13 two flags"),
+    ("\U0001F1FA\U0001F1F8\U0001F1E9", 2, "GB13 odd third RI breaks"),
+    ("a\u0301\u0301", 1, "GB9 stacked marks"),
+]
+
+
 class TestGraphemeLength:
+    def test_uax29_vectors_python(self):
+        """Pass-rate gate on the GraphemeBreakTest-style vectors: 100% of
+        the rules the segmenter claims (GB3-GB13 + GB999)."""
+        from tsv_utils_spark.functions.grapheme import count_graphemes
+
+        failures = [
+            (s.encode("unicode_escape").decode(), got, want, rule)
+            for s, want, rule in _GRAPHEME_VECTORS
+            if (got := count_graphemes(s)) != want
+        ]
+        assert not failures, failures
+
     def test_combining_and_emoji(self, spark):
         import pandas as pd
 
         from tsv_utils_spark.operators.text import grapheme_length
 
         rows = pd.DataFrame({"s": [
-            "abc",                      # 3 plain
-            "café",               # e + combining acute = 4 graphemes
-            "\U0001F469‍\U0001F4BB",  # woman+ZWJ+laptop = 1
-            "\U0001F1FA\U0001F1F8",     # flag pair = 1
+            "abc",                        # 3 plain
+            "cafe\u0301",                 # e + combining acute = 4
+            "\U0001F469\u200d\U0001F4BB",  # woman+ZWJ+laptop = 1
+            "\U0001F1FA\U0001F1F8",       # flag pair = 1
             "",
         ]})
         df = spark.createDataFrame(rows)

@@ -99,39 +99,19 @@ def grapheme_length(col: str):
 
     The reference's --char-len counts GRAPHEMES, not code points
     (tsv-filter.d:331); Spark's char_length counts code points. This UDF
-    closes most of the gap with a segmentation approximation: combining
-    marks (Mn/Me/Mc), ZWJ-joined sequences, variation selectors, skin-tone
-    modifiers, and the second of a regional-indicator (flag) pair do not
-    start a new cluster. Full UAX #29 needs ICU — out of sandbox scope,
-    divergence documented.
+    implements the UAX #29 extended-grapheme-cluster rules GB3-GB13 +
+    GB999 (see functions.grapheme) with a property classifier built from
+    ``unicodedata`` plus explicit code-point ranges for Hangul syllable
+    types (GB6-GB8), Prepend (GB9b), Regional_Indicator (GB12/13) and an
+    Extended_Pictographic approximation for emoji ZWJ sequences (GB11).
+    Known divergence from a full ICU segmenter: the Extended_Pictographic
+    and Prepend sets are range approximations of the Unicode data files —
+    tests/test_pipeline_ops.py parametrizes the claimed behaviors over
+    GraphemeBreakTest-style vectors and documents the covered rules.
     """
-    import unicodedata
-
     from pyspark.sql.functions import pandas_udf
 
-    ZWJ = "‍"
-
-    def count_graphemes(s: str) -> int:
-        n = 0
-        prev_join = False  # previous char glues this one to the cluster
-        prev_ri = False
-        for ch in s:
-            cat = unicodedata.category(ch)
-            is_mark = cat in ("Mn", "Me", "Mc")
-            is_vs = "︀" <= ch <= "️"
-            is_skin = "\U0001f3fb" <= ch <= "\U0001f3ff"
-            is_ri = "\U0001f1e6" <= ch <= "\U0001f1ff"
-            if is_mark or is_vs or is_skin or prev_join or (is_ri and prev_ri):
-                prev_join = ch == ZWJ
-                prev_ri = False if (is_ri and prev_ri) else prev_ri
-                continue
-            if ch == ZWJ:
-                prev_join = True
-                continue
-            n += 1
-            prev_join = False
-            prev_ri = is_ri
-        return n
+    from tsv_utils_spark.functions.grapheme import count_graphemes
 
     @pandas_udf("int")
     def _glen(s: pd.Series) -> pd.Series:
