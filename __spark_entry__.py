@@ -838,8 +838,58 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id")
 
 
-@q("text_profile")  # no oracle: composite profile; components oracled above
+@q("text_profile", r"""
+WITH m AS (
+  SELECT doc_id, text,
+    length(text) AS n,
+    trim(text) AS t,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_extract_all(trim(text), '\w+'))
+              + length(regexp_replace(trim(text), '[\w\s]', '', 'g'))
+         END AS n_pieces,
+    length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct
+  FROM documents
+), r AS (
+  SELECT *,
+    round(CASE WHEN n > 0
+               THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / n
+               ELSE 0 END, 6) AS upper_ratio,
+    round(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> x IN
+                    ('the','and','of','to','a','is','in','it')))::DOUBLE
+                    / len(toks)
+               ELSE 0 END, 6) AS stopword_ratio
+  FROM m
+)
+SELECT doc_id, n_tokens, n_pieces, n_punct, upper_ratio, stopword_ratio,
+  (
+    (CASE WHEN n >= 200 THEN 1.0 ELSE n / 200.0 END) +
+    (CASE WHEN n_punct::DOUBLE / greatest(n, 1) <= 0.05 THEN 1.0
+          ELSE greatest(0.0,
+               1.0 - (n_punct::DOUBLE / greatest(n, 1) - 0.05) * 10) END) +
+    (CASE WHEN upper_ratio <= 0.3 THEN 1.0
+          ELSE greatest(0.0, 1.0 - (upper_ratio - 0.3) * 2) END) +
+    least(stopword_ratio * 5, 1.0)
+  ) / 4.0 AS quality,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+       WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+       WHEN regexp_matches(text, '(?i)\b(the|and|of|to|is)\b') THEN 'en'
+       WHEN regexp_matches(text, '(?i)\b(el|la|los|las|una)\b') THEN 'es'
+       WHEN regexp_matches(text, '(?i)\b(le|les|des|une|est)\b') THEN 'fr'
+       WHEN regexp_matches(text, '(?i)\b(der|die|das|und|ist)\b') THEN 'de'
+       ELSE 'other' END AS lang_guess,
+  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM r
+""")
 def q_text_profile(spark, sf_dir):
+    # the composite one-pass profile; every metric replicated in the
+    # DuckDB oracle above (n_pieces uses the lookaround-free closed form
+    # word-runs + non-space-non-word chars, since RE2 has no lookarounds —
+    # equivalence property-tested in tests)
     d = _t(spark, sf_dir, "documents")
     return analyze(d, "text", "doc_id")
 

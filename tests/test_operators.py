@@ -404,6 +404,27 @@ class TestMisc:
         s = pretty(tables["region"], n=3)
         assert "r_name" in s and "AFRICA" in s
 
+    def test_pretty_alignment_and_floats(self, spark):
+        import pandas as pd
+
+        from tsv_utils_spark.operators.misc import pretty
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "name": ["aa", "b" * 60, None],
+            "x": [1.5, 22.25, 3.0],
+            "n": [7, 1000, 3],
+        }))
+        s = pretty(df, n=3, format_floats=True, underline_header=True,
+                   max_width=10, empty_replacement="--")
+        lines = s.split("\n")
+        assert lines[1].startswith("----")            # underline
+        assert "bbbbbbbbbb" in s and "b" * 11 not in s  # max_width cap
+        assert " 1.50" in s and "22.25" in s          # decimal alignment
+        assert "--" in s                              # empty replacement
+        # numeric right-alignment: the ints line up on their last digit
+        col = [ln.rstrip()[-4:] for ln in lines[2:]]
+        assert col == ["   7", "1000", "   3"]
+
 
 class TestNumFormat:
     def test_python_twin(self):

@@ -76,10 +76,78 @@ def number_lines_distributed(df: DataFrame, start: int = 1,
     return df.mapInPandas(gen, schema=schema)
 
 
-def pretty(df: DataFrame, n: int = 20, max_width: int = 40) -> str:
-    """Aligned text render of the first n rows (driver-side sample)."""
-    pdf = df.limit(n).toPandas()
-    for c in pdf.columns:
-        if pdf[c].dtype == object:
-            pdf[c] = pdf[c].astype(str).str.slice(0, max_width)
-    return pdf.to_string(index=False)
+def pretty(df: DataFrame, n: int = 20, lookahead: int = 1000,
+           header: bool = True, underline_header: bool = False,
+           format_floats: bool = False, float_precision: int = 9,
+           max_width: int = 40, space_between: int = 2,
+           empty_replacement: str = "") -> str:
+    """tsv-pretty's aligned console render (tsv-pretty.d:106-127 options).
+
+    Driver-side over a LIMITED sample by design (never the full
+    distributed result). Faithful behaviors:
+    - type/width inference over a ``lookahead`` window (default 1000 rows,
+      tsv-pretty.d:113): a column is numeric iff every non-empty sampled
+      value parses as a number;
+    - numeric columns right-aligned; with ``format_floats`` they align on
+      the decimal point using the max observed precision capped at
+      ``float_precision`` (--f/--p, tsv-pretty.d:118-119);
+    - text columns left-aligned, capped at ``max_width`` (--m, :124);
+    - ``space_between`` spaces between fields (--s, :123), optional
+      header underline (--u, :117), optional empty replacement (--e/--E).
+    (Header auto-detection is N/A: DataFrames always carry a schema.)
+    """
+    look = df.limit(max(n, lookahead)).toPandas().astype(object)
+    pdf = look.head(n)
+
+    def parse_num(v) -> float | None:
+        if v is None:
+            return None
+        try:
+            return float(str(v))
+        except ValueError:
+            return None
+
+    def decimals(v) -> int:
+        s = str(v)
+        if "e" in s.lower():
+            return float_precision
+        return len(s.split(".", 1)[1]) if "." in s else 0
+
+    cols = list(pdf.columns)
+    rendered: dict[str, list[str]] = {}
+    widths: dict[str, int] = {}
+    for c in cols:
+        sample = [v for v in look[c].tolist() if v is not None and str(v) != ""]
+        nums = [parse_num(v) for v in sample]
+        is_numeric = bool(sample) and all(x is not None for x in nums)
+        vals = pdf[c].tolist()
+        if is_numeric:
+            prec = min(float_precision,
+                       max((decimals(v) for v in sample), default=0))
+            out = []
+            for v in vals:
+                if v is None or str(v) == "":
+                    out.append(empty_replacement)
+                elif format_floats and prec > 0:
+                    out.append(f"{float(str(v)):.{prec}f}")
+                else:
+                    out.append(str(v))
+            rendered[c] = out
+        else:
+            rendered[c] = [
+                (empty_replacement if v is None or str(v) == ""
+                 else str(v)[:max_width]) for v in vals]
+        widths[c] = max([len(s) for s in rendered[c]] +
+                        [len(c) if header else 0])
+        rendered[c] = [s.rjust(widths[c]) if is_numeric else s.ljust(widths[c])
+                       for s in rendered[c]]
+
+    gap = " " * space_between
+    lines = []
+    if header:
+        lines.append(gap.join(c.ljust(widths[c]) for c in cols).rstrip())
+        if underline_header:
+            lines.append(gap.join("-" * widths[c] for c in cols).rstrip())
+    for i in range(len(pdf)):
+        lines.append(gap.join(rendered[c][i] for c in cols).rstrip())
+    return "\n".join(lines)

@@ -75,7 +75,10 @@ def quality_score(col: str) -> Column:
     shout_ok = F.when(shout <= 0.3, 1.0).otherwise(
         F.greatest(F.lit(0.0), 1.0 - (shout - 0.3) * 2))
     sw_ok = F.least(stopword_ratio(col) * 5, F.lit(1.0))
-    return F.round((len_ok + punct_ok + shout_ok + sw_ok) / 4.0, 6)
+    # no final round: the blend of 6-dp components divided by 4 lands on
+    # exact quarter-ties where engines' round() implementations disagree;
+    # the raw double is bit-deterministic (pure per-row IEEE arithmetic)
+    return (len_ok + punct_ok + shout_ok + sw_ok) / 4.0
 
 
 def lang_id(col: str) -> Column:
