@@ -567,6 +567,98 @@ def q_sample_topk_det(spark, sf_dir):
         .limit(100).select("l_orderkey", "l_linenumber")
 
 
+@q("join_append_dup", """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(o.o_orderdate AS DATE)::VARCHAR AS last_date,
+       o.o_totalprice AS last_price
+FROM customer c
+JOIN (
+  SELECT o_custkey, o_orderdate, o_totalprice FROM (
+    SELECT o_custkey, o_orderdate, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_totalprice DESC) rn
+    FROM orders) WHERE rn = 1
+) o ON c.c_custkey = o.o_custkey
+""")
+def q_join_append_dup(spark, sf_dir):
+    # --append-fields with duplicate filter keys + allow_duplicate_keys
+    # ('last wins', tsv-join.d:563): one ACTUAL row per key — the max over
+    # the append-tuple struct, which equals the DuckDB multi-key DESC sort
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    out = join_filter(c, o, data_keys=["c_custkey"],
+                      filter_keys=["o_custkey"], mode="append",
+                      append=["o_orderdate", "o_totalprice"],
+                      allow_duplicate_keys=True)
+    return out.select("c_custkey", "c_mktsegment",
+                      F.col("o_orderdate").cast("date").cast("string")
+                       .alias("last_date"),
+                      F.col("o_totalprice").alias("last_price"))
+
+
+@q("tsv_roundtrip", """
+SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+FROM documents GROUP BY lang, source
+""")
+def q_tsv_roundtrip(spark, sf_dir):
+    # sources round-trip (§2.8): write documents' flat columns as
+    # quote-less TSV (write_tsv), read back with the reference's
+    # no-quoting semantics (read_tsv), aggregate from the strings —
+    # proving the format layer loses nothing on TSV-safe data
+    from tsv_utils_spark.sources.tsv import read_tsv, write_tsv
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/tsv_roundtrip_{tag}"
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source",
+                                              "n_chars")
+    write_tsv(d, path)
+    back = read_tsv(spark, path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").try_cast("long")).alias("chars"))
+
+
+@q("uniq_wholeline", """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def q_uniq_wholeline(spark, sf_dir):
+    # whole-line key (tsv-uniq.d:250-254 field 0): keys default to ALL
+    # columns; order auto-derived from the scan's (file, offset) row_id
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    return uniq(li)
+
+
+@q("unique_values_first_seen", """
+SELECT lang, string_agg(source, '|' ORDER BY first_seen) AS sources
+FROM (
+  SELECT lang, source, min(doc_id) AS first_seen
+  FROM documents GROUP BY lang, source
+) GROUP BY lang
+""")
+def q_unique_values_first_seen(spark, sf_dir):
+    # --unique-values keeps FIRST-SEEN order (tsv-summarize.d:4250)
+    d = _t(spark, sf_dir, "documents")
+    return summarize(d, ["lang"],
+                     [Op.unique_values("source", header="sources")],
+                     order_col="doc_id")
+
+
+@q("filter_len", """
+SELECT doc_id, length(text) AS n_cp, octet_length(encode(text)) AS n_bytes
+FROM documents
+WHERE length(text) >= 100 AND octet_length(encode(text)) <= 1000
+""")
+def q_filter_len(spark, sf_dir):
+    # char-len (code points) + byte-len predicates (tsv-filter.d:331-343)
+    d = _t(spark, sf_dir, "documents")
+    out = tsv_filter(d, [P.char_len("text", "ge", 100),
+                         P.byte_len("text", "le", 1000)])
+    return out.select("doc_id",
+                      F.char_length("text").alias("n_cp"),
+                      F.octet_length("text").alias("n_bytes"))
+
+
 @q("sample_replacement_det", """
 WITH numbered AS (
   SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS idx
