@@ -567,6 +567,50 @@ def q_sample_topk_det(spark, sf_dir):
         .limit(100).select("l_orderkey", "l_linenumber")
 
 
+@q("events_hourly", """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+       event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+""")
+def q_events_hourly(spark, sf_dir):
+    # tumbling 1-hour window aggregation via F.window — the batch form of
+    # the Structured Streaming windowed agg (same operator at 100 TB)
+    e = _t(spark, sf_dir, "events")
+    out = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total")))
+    return out.select(F.col("w.start").cast("string").alias("hour"),
+                      "event_type", "n", "total")
+
+
+@q("events_sessions", """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+SELECT user_id, sum(new_s) AS n_sessions FROM gaps GROUP BY user_id
+""")
+def q_events_sessions(spark, sf_dir):
+    # sessionization: 30-minute inactivity gap starts a new session;
+    # integer-microsecond comparisons so both engines cut identically
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > 1_800_000_000),
+                   F.lit(1)).otherwise(F.lit(0))
+    return (e.withColumn("__new_s", new_s)
+             .groupBy("user_id")
+             .agg(F.sum("__new_s").alias("n_sessions")))
+
+
 @q("join_append_dup", """
 SELECT c.c_custkey, c.c_mktsegment,
        CAST(o.o_orderdate AS DATE)::VARCHAR AS last_date,

@@ -1,91 +1,138 @@
-"""Hypothesis property tests: sketch invariants under arbitrary data and
-arbitrary partition splits (the generalized merge-associativity contract)."""
+"""Property-based tests (hypothesis) for the pure-Python kernels, plus
+randomized Spark-vs-pandas cross-checks for the exact operators — the
+reference's own test strategy (golden outputs + randomized inputs,
+SURVEY.md §5) adapted to property form."""
 
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
-from tsv_utils_spark.sketches import KLL, BloomFilter, CountMin, HyperLogLog
-
-floats = st.lists(
-    st.floats(allow_nan=False, allow_infinity=False,
-              min_value=-1e12, max_value=1e12),
-    min_size=1, max_size=400)
-int_lists = st.lists(st.integers(min_value=-2**40, max_value=2**40),
-                     min_size=1, max_size=400)
+from tsv_utils_spark.functions.grapheme import count_graphemes
 
 
-def _split(data, cuts):
-    idx = sorted(set(c % (len(data) + 1) for c in cuts))
-    parts, prev = [], 0
-    for i in idx:
-        parts.append(data[prev:i])
-        prev = i
-    parts.append(data[prev:])
-    return [p for p in parts if len(p)]
+class TestGraphemeProperties:
+    @given(st.text(max_size=200))
+    @settings(max_examples=300, deadline=None)
+    def test_total_and_bounded(self, s):
+        n = count_graphemes(s)
+        assert 0 <= n <= len(s)
+        assert (n == 0) == (len(s) == 0)
+
+    @given(st.text(alphabet=st.characters(min_codepoint=0x20,
+                                          max_codepoint=0x7E),
+                   max_size=100))
+    @settings(max_examples=100, deadline=None)
+    def test_printable_ascii_is_codepoints(self, s):
+        assert count_graphemes(s) == len(s)
+
+    @given(st.text(max_size=80), st.text(max_size=80))
+    @settings(max_examples=200, deadline=None)
+    def test_concat_subadditive(self, a, b):
+        # joining can only merge clusters at the seam, never split them
+        n = count_graphemes(a + b)
+        assert n <= count_graphemes(a) + count_graphemes(b)
+        if a and b:
+            assert n >= max(count_graphemes(a), 1)
 
 
-@settings(max_examples=50, deadline=None)
-@given(int_lists, st.lists(st.integers(0, 10_000), max_size=4))
-def test_hll_split_invariance(values, cuts):
-    """Any way of splitting the stream into merged parts gives the same
-    estimate as one-shot (sparse mode: exactly; both are exact here)."""
-    arr = np.asarray(values)
-    whole = HyperLogLog(p=12)
-    whole.update(arr)
-    merged = HyperLogLog(p=12)
-    for part in _split(values, cuts):
+class TestCountMinProperties:
+    @given(st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_never_underestimates(self, values):
+        from collections import Counter
+
+        from tsv_utils_spark.sketches.countmin import CountMin
+
+        cm = CountMin(depth=4, width=1 << 8, max_candidates=32)
+        cm.update(np.asarray(values, dtype=object))
+        truth = Counter(values)
+        for v, true_n in truth.items():
+            assert cm.count(v) >= true_n  # CM is one-sided
+
+    @given(st.lists(st.sampled_from("abcd"), min_size=1, max_size=100),
+           st.lists(st.sampled_from("abcd"), min_size=1, max_size=100))
+    @settings(max_examples=30, deadline=None)
+    def test_merge_equals_union_update(self, xs, ys):
+        from tsv_utils_spark.sketches.countmin import CountMin
+
+        a = CountMin(depth=4, width=1 << 8)
+        a.update(np.asarray(xs, dtype=object))
+        b = CountMin(depth=4, width=1 << 8)
+        b.update(np.asarray(ys, dtype=object))
+        a.merge(b)
+        both = CountMin(depth=4, width=1 << 8)
+        both.update(np.asarray(xs + ys, dtype=object))
+        assert np.array_equal(a.table, both.table)
+
+
+class TestHLLProperties:
+    @given(st.sets(st.integers(min_value=0, max_value=10**12),
+                   min_size=1, max_size=2000))
+    @settings(max_examples=30, deadline=None)
+    def test_error_within_published_bound(self, values):
+        from tsv_utils_spark.sketches.hll import HyperLogLog
+
         h = HyperLogLog(p=12)
-        h.update(np.asarray(part))
-        merged.merge(h)
-    assert merged.estimate() == whole.estimate() == float(len(set(values)))
+        h.update(np.fromiter(values, dtype=np.int64))
+        est = h.estimate()
+        n = len(values)
+        # 1.04/sqrt(2^12) ~ 1.6%; allow 5 sigma (sparse phase is exact)
+        assert abs(est - n) <= max(1.0, 5 * 1.04 / np.sqrt(1 << 12) * n)
 
 
-@settings(max_examples=50, deadline=None)
-@given(floats, st.lists(st.integers(0, 10_000), max_size=4),
-       st.floats(min_value=0.01, max_value=0.99))
-def test_kll_split_rank_bound(values, cuts, q):
-    merged = KLL(k=200)
-    for part in _split(values, cuts):
-        k = KLL(k=200)
-        k.update(np.asarray(part))
-        merged.merge(k)
-    est = merged.quantile(q)
-    s = np.sort(np.asarray(values, dtype=np.float64))
-    lo = np.searchsorted(s, est, side="left") / len(s)
-    hi = np.searchsorted(s, est, side="right") / len(s)
-    eps = max(3 * merged.rank_error(), 1.5 / len(s))
-    assert lo - eps <= q <= hi + eps
+@pytest.mark.parametrize("seed", [1, 2, 3])
+class TestSummarizeVsPandas:
+    def test_random_frames(self, spark, seed):
+        from tsv_utils_spark.operators import Op, summarize
 
+        rng = np.random.default_rng(seed)
+        n = 400
+        pdf = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c", None], n).astype(object),
+            "x": rng.normal(100, 30, n).round(3),
+            "s": rng.choice(["u", "v", "w", ""], n).astype(object),
+        })
+        pdf.loc[rng.choice(n, 30, replace=False), "x"] = np.nan
+        df = spark.createDataFrame(pdf)
+        out = summarize(df, ["g"], [
+            Op.count(header="n"),
+            Op.sum("x", header="sx"),
+            Op.min("x", header="mn"),
+            Op.max("x", header="mx"),
+            Op.mean("x", header="avg"),
+            Op.unique_count("s", header="us"),
+        ]).toPandas().set_index("g")
+        grp = pdf.groupby("g", dropna=False)
+        for key, sub in grp:
+            k = None if (isinstance(key, float) and np.isnan(key)) or \
+                key is None else key
+            row = out.loc[k] if k is not None else \
+                out[out.index.isnull()].iloc[0]
+            assert row["n"] == len(sub)
+            if sub["x"].notna().any():
+                assert row["sx"] == pytest.approx(sub["x"].sum(), rel=1e-9)
+                assert row["mn"] == pytest.approx(sub["x"].min())
+                assert row["mx"] == pytest.approx(sub["x"].max())
+                assert row["avg"] == pytest.approx(sub["x"].mean(), rel=1e-9)
+            # unique_count counts distinct non-null values incl. ""
+            assert row["us"] == sub["s"].dropna().nunique()
 
-@settings(max_examples=50, deadline=None)
-@given(st.lists(st.text(min_size=0, max_size=8), min_size=1, max_size=300),
-       st.lists(st.integers(0, 10_000), max_size=4))
-def test_cm_split_exact_sum(values, cuts):
-    """CM merged over any split never under-counts and matches the
-    one-shot table exactly (both add the same increments)."""
-    whole = CountMin(depth=4, width=1 << 12)
-    whole.update(np.asarray(values, dtype=object))
-    merged = CountMin(depth=4, width=1 << 12)
-    for part in _split(values, cuts):
-        c = CountMin(depth=4, width=1 << 12)
-        c.update(np.asarray(part, dtype=object))
-        merged.merge(c)
-    assert (merged.table == whole.table).all()
-    uniq = list(set(values))
-    true = {v: values.count(v) for v in uniq}
-    est = merged.counts(np.asarray(uniq, dtype=object))
-    assert all(e >= true[v] for v, e in zip(uniq, est))
+    def test_filter_predicates(self, spark, seed):
+        from tsv_utils_spark.operators import Predicates as P, tsv_filter
 
-
-@settings(max_examples=50, deadline=None)
-@given(st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=200),
-       st.lists(st.integers(0, 10_000), max_size=4))
-def test_bloom_split_no_false_negatives(values, cuts):
-    merged = BloomFilter(m=1 << 14, k=5)
-    for part in _split(values, cuts):
-        b = BloomFilter(m=1 << 14, k=5)
-        b.update(np.asarray(part, dtype=object))
-        merged.merge(b)
-    assert merged.contains(np.asarray(values, dtype=object)).all()
+        rng = np.random.default_rng(seed + 100)
+        n = 300
+        pdf = pd.DataFrame({
+            "v": rng.integers(-50, 50, n).astype(str),
+            "t": [("x" * int(k)) for k in rng.integers(0, 12, n)],
+        })
+        df = spark.createDataFrame(pdf)
+        got = tsv_filter(df, [P.num("v", "ge", 0),
+                              P.char_len("t", "le", 5)]).toPandas()
+        want = pdf[(pdf["v"].astype(int) >= 0) & (pdf["t"].str.len() <= 5)]
+        assert len(got) == len(want)
+        assert sorted(got["v"].astype(int)) == sorted(want["v"].astype(int))
