@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: the properties that make these
+operators survive a 100x scale-up are plan-shape properties — filter
+pushdown into the parquet scan, column pruning, broadcast for small
+dims, and map-side partial aggregation with exactly one shuffle. These
+tests pin them so a refactor can't silently trade one away."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_of(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanShape:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        p = plan_of(spark, "filter_numeric")
+        pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "GreaterThan(l_quantity,30.0)" in pushed
+        # the display truncates long filter lists — the second predicate's
+        # prefix is enough to prove it reached the scan
+        assert "GreaterThan(l_e" in pushed
+
+    def test_column_pruning_reaches_scan(self, spark):
+        p = plan_of(spark, "filter_numeric")
+        schema = p.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+        # 4 needed columns only — not lineitem's full width
+        for c in ("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice"):
+            assert c in schema
+        assert "l_comment" not in schema and "l_shipdate" not in schema
+
+    def test_select_pushdown(self, spark):
+        p = plan_of(spark, "select_project")
+        assert "GreaterThan(p_size,20)" in p
+        schema = p.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+        assert schema.count(":") == 3  # exactly 3 columns scanned
+
+    def test_semi_join_broadcasts_filter_side(self, spark):
+        p = plan_of(spark, "join_semi")
+        assert "BroadcastHashJoin" in p and "LeftSemi" in p
+        # the big probe side must NOT shuffle (the filter side's dedup
+        # aggregate may — it's the small side, pre-broadcast)
+        assert "Exchange hashpartitioning(o_" not in p
+
+    def test_summarize_is_single_shuffle_with_partials(self, spark):
+        p = plan_of(spark, "summarize_basic")
+        assert p.count("Exchange hashpartitioning") == 1
+        # partial + final aggregation (map-side combine)
+        assert p.count("HashAggregate") >= 2 or \
+            p.count("ObjectHashAggregate") >= 2
+
+    def test_whole_stage_codegen_in_exact_paths(self, spark):
+        for name in ("filter_numeric", "summarize_stats3", "text_tokens"):
+            p = plan_of(spark, name)
+            # codegen'd operators print with a "*(stage)" prefix; AQE
+            # plans defer that until execution, so only assert it on the
+            # non-adaptive ones
+            if "AdaptiveSparkPlan" not in p:
+                assert "*(" in p, name
+            # no Python evaluation in reference-parity exact paths
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+    def test_sketch_pipeline_shuffles_only_blobs(self, spark):
+        from tsv_utils_spark.plans import SketchSpec, sketch_agg
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        df = sketch_agg(li, ["l_returnflag"],
+                        [SketchSpec("hll", "l_partkey", "uc")])
+        p = df._jdf.queryExecution().executedPlan().toString()
+        # one shuffle between level-1 partials and the level-2 merge
+        assert p.count("Exchange hashpartitioning") == 1
+        # the scan projects only the key + hashed input, not full rows
+        schema = p.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+        assert "l_returnflag" in schema and "l_partkey" in schema
+        assert "l_extendedprice" not in schema
