@@ -52,6 +52,36 @@ class TestStreaming:
         assert ((got["q50"] - batch["q50"]).abs() /
                 batch["q50"].abs()).max() < 0.1
 
+    def test_replay_is_idempotent(self, spark, tables, tmp_path):
+        """foreachBatch can replay a batch after a crash; the atomic
+        state-epoch=N commit must make the replay a no-merge (counts
+        would double otherwise), while still refreshing the estimate
+        output if the crash hit between state commit and estimate write."""
+        import os
+
+        from tsv_utils_spark.streaming.sketch_stream import make_processor
+
+        li = tables["lineitem"]
+        b0 = li.filter(F.col("l_orderkey") % 2 == 0)
+        b1 = li.filter(F.col("l_orderkey") % 2 == 1)
+        state, out = str(tmp_path / "st"), str(tmp_path / "es")
+        process = make_processor(li, ["l_returnflag"], SPECS, state, out)
+        process(b0, 0)
+        process(b1, 1)
+        want = spark.read.parquet(out).toPandas() \
+            .set_index("l_returnflag").sort_index()
+        # crash window simulation: estimates lost AFTER epoch 1 committed
+        import shutil as sh
+        sh.rmtree(out)
+        process(b1, 1)  # replayed batch
+        got = spark.read.parquet(out).toPandas() \
+            .set_index("l_returnflag").sort_index()
+        assert (got["rows"] == want["rows"]).all()  # no double-merge
+        assert (got["uc"] == want["uc"]).all()
+        # exactly one committed state dir remains, tagged with epoch 1
+        dirs = [d for d in os.listdir(state) if d.startswith("state-epoch=")]
+        assert dirs == ["state-epoch=1"]
+
     def test_stateful_variant_equals_batch(self, spark, tables, tmp_path):
         from tsv_utils_spark.streaming import streaming_sketch_agg_stateful
 

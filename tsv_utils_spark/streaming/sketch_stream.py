@@ -60,24 +60,21 @@ def _restate_fn(group_by, specs, partial_schema):
     return fn
 
 
-def streaming_sketch_agg(stream_df: DataFrame,
-                         group_by: list[str],
-                         specs: list[SketchSpec],
-                         state_dir: str,
-                         out_dir: str,
-                         max_groups_per_partition: int = 100_000,
-                         **write_stream_kwargs):
-    """Start the incremental sketch aggregation; returns the StreamingQuery.
-
-    The caller owns the trigger/termination (e.g. ``.processAllAvailable()``
-    in tests, a real trigger in production).
-    """
-    spark = stream_df.sparkSession
+def make_processor(template_df: DataFrame,
+                   group_by: list[str],
+                   specs: list[SketchSpec],
+                   state_dir: str,
+                   out_dir: str,
+                   max_groups_per_partition: int = 100_000):
+    """Build the idempotent foreachBatch processor (exposed for direct
+    testing of the exactly-once replay guard; ``template_df`` only
+    supplies the schema)."""
+    spark = template_df.sparkSession
     group_by = list(group_by)
     in_cols = [spec.input_expr(i) for i, spec in enumerate(specs)]
     in_names = [f"__in_{i}" for i in range(len(specs))]
-    partial_schema = _partial_schema(stream_df, group_by, len(specs))
-    final_schema = _final_schema(stream_df, group_by, specs, True)
+    partial_schema = _partial_schema(template_df, group_by, len(specs))
+    final_schema = _final_schema(template_df, group_by, specs, True)
     os.makedirs(state_dir, exist_ok=True)
 
     def live_state() -> tuple[str | None, int]:
@@ -133,6 +130,23 @@ def streaming_sketch_agg(stream_df: DataFrame,
         if live_path is not None:  # prune superseded state (crash-safe)
             shutil.rmtree(live_path, ignore_errors=True)
 
+    return process
+
+
+def streaming_sketch_agg(stream_df: DataFrame,
+                         group_by: list[str],
+                         specs: list[SketchSpec],
+                         state_dir: str,
+                         out_dir: str,
+                         max_groups_per_partition: int = 100_000,
+                         **write_stream_kwargs):
+    """Start the incremental sketch aggregation; returns the StreamingQuery.
+
+    The caller owns the trigger/termination (e.g. ``.processAllAvailable()``
+    in tests, a real trigger in production).
+    """
+    process = make_processor(stream_df, group_by, specs, state_dir, out_dir,
+                             max_groups_per_partition)
     writer = (stream_df.writeStream
               .foreachBatch(process)
               .outputMode("update")
