@@ -162,7 +162,10 @@ def sketch_agg_checkpointed(df: DataFrame,
                                      max_groups_per_partition,
                                      lineage_epoch=e),
                     schema=partial_schema)
-        partial.write.mode("overwrite").parquet(out_path)
+        # the directory name epoch=N IS the epoch (partition discovery
+        # restores the column on read); writing it as data too would
+        # collide with the partition column
+        partial.drop("epoch").write.mode("overwrite").parquet(out_path)
         dt = time.perf_counter() - t0
         stats = spark.read.parquet(out_path) \
             .agg(F.sum("__rows").alias("rows"),
