@@ -663,6 +663,30 @@ def q_tsv_roundtrip(spark, sf_dir):
         F.sum(F.col("n_chars").try_cast("long")).alias("chars"))
 
 
+@q("csv2tsv_roundtrip", """
+SELECT doc_id, lang || ',"' || source || '" ' || n_chars AS tricky
+FROM documents
+""")
+def q_csv2tsv_roundtrip(spark, sf_dir):
+    # csv2tsv semantics (csv2tsv.d:429-640): build a field containing a
+    # comma, RFC quotes, and a TAB; write as quoted CSV; read honoring
+    # quotes; TAB normalizes to a space. The oracle predicts the final
+    # TSV-safe value straight from parquet.
+    from tsv_utils_spark.sources.tsv import csv_to_tsv_df
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/csv2tsv_roundtrip_{tag}"
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit(',"'), F.col("source"), F.lit('"\t'),
+                 F.col("n_chars").cast("string")).alias("tricky"))
+    (d.write.mode("overwrite").option("header", True)
+      .option("quote", '"').option("escape", '"').csv(path))
+    back = csv_to_tsv_df(spark, path)
+    return back.select(F.col("doc_id").try_cast("long").alias("doc_id"),
+                       "tricky")
+
+
 @q("uniq_wholeline", """
 SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 """)
