@@ -231,6 +231,31 @@ class TestJoin:
                           allow_duplicate_keys=True).toPandas()
         assert len(out) == 1 and out["v"][0] == "b"  # last-wins (max)
 
+    def test_salted_join_equals_plain(self, spark):
+        import pandas as pd
+
+        from tsv_utils_spark.operators.join import salted_join
+
+        rng = np.random.default_rng(5)
+        # pathological skew: 90% of the big side is ONE key
+        big = pd.DataFrame({
+            "k": np.where(rng.random(2000) < 0.9, 7,
+                          rng.integers(0, 50, 2000)),
+            "v": np.arange(2000),
+        })
+        med = pd.DataFrame({"k": np.arange(50), "label": [f"L{i}"
+                                                          for i in range(50)]})
+        b, m = spark.createDataFrame(big), spark.createDataFrame(med)
+        got = salted_join(b, m, ["k"], salt=8).toPandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        want = b.join(m, "k").toPandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        assert got.equals(want)
+        # left join keeps unmatched big rows exactly once
+        bigger = b.withColumn("k", F.col("k") + 40)  # some keys unmatched
+        gl = salted_join(bigger, m, ["k"], salt=4, how="left").count()
+        assert gl == bigger.join(m, "k", "left").count()
+
     def test_bloom_joins_equal_exact(self, tables):
         from tsv_utils_spark.operators.join import bloom_anti_join, bloom_semi_join
 

@@ -93,6 +93,33 @@ def join_filter(data: DataFrame,
     raise ValueError(f"bad mode {mode!r}")
 
 
+def salted_join(big: DataFrame, medium: DataFrame, keys: list[str],
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Explicit skew-salted equi-join: the scale path when one join key is
+    hot enough to overwhelm a single reducer and the other side is too
+    big to broadcast.
+
+    The big side gets a deterministic per-row salt in [0, salt) derived
+    from its WHOLE row (xxhash64 over all columns — rows of a hot key
+    spread across ``salt`` partitions as long as anything else varies);
+    the medium side is replicated ``salt`` times via a JVM-side explode.
+    Joining on (keys..., salt) then yields exactly the plain equi-join,
+    with the hot key's work fanned out ``salt``-ways. Complements AQE's
+    runtime skew-join (spark.sql.adaptive.skewJoin) when the skew is
+    known up front; the aggregation analogue is ``sketch_agg(mode='salt')``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (medium side is "
+                         "replicated — right/outer would duplicate nulls)")
+    bsalt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                   F.lit(salt)).cast("int").alias("__salt")
+    b = big.select("*", bsalt)
+    m = medium.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__s")) \
+        .withColumn("__salt", F.col("__s").cast("int")).drop("__s")
+    return b.join(m, [*keys, "__salt"], how).drop("__salt")
+
+
 def build_bloom(filter_df: DataFrame, keys: list[str], fpr: float = 0.001,
                 capacity: int | None = None) -> BloomFilter:
     """Build one Bloom filter over the (composite) filter keys.
