@@ -74,6 +74,28 @@ class TestSketchAgg:
         # KLL differs only within rank error
         assert np.allclose(a["q50"], b["q50"], rtol=0.1)
 
+    def test_auto_salt_fanout(self, li, spark):
+        from tsv_utils_spark.plans.agg import choose_salt
+
+        # uniform keys -> salting off (S == 1)
+        uniform = spark.range(0, 50_000).selectExpr(
+            "cast(id % 1000 as string) AS k", "id AS v")
+        assert choose_salt(uniform, ["k"], sample_fraction=0.2) == 1
+        # 80%-hot key -> S grows toward its shuffle share
+        hot = spark.range(0, 50_000).selectExpr(
+            "CASE WHEN id % 10 < 8 THEN 'mega' ELSE cast(id as string) END"
+            " AS k", "id AS v")
+        s = choose_salt(hot, ["k"], sample_fraction=0.2)
+        assert s >= 4  # 0.8 share x 4 shuffle partitions (test conf) x 2
+        # and mode='salt' with auto gives the same estimates as map mode
+        specs = [SketchSpec("hll", "v", "uc")]
+        a = sketch_agg(hot, ["k"], specs, mode="map").toPandas() \
+            .set_index("k").sort_index()
+        b = sketch_agg(hot, ["k"], specs, mode="salt",
+                       salt_partitions="auto").toPandas() \
+            .set_index("k").sort_index()
+        assert (a["uc"] == b["uc"]).all()
+
     def test_no_group_by(self, li, li_pdf):
         out = sketch_agg(li, [], [SketchSpec("hll", "l_orderkey", "uc")]) \
             .toPandas()

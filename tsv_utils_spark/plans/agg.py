@@ -221,7 +221,7 @@ def sketch_agg(df: DataFrame,
                group_by: list[str],
                specs: list[SketchSpec],
                mode: str = "map",
-               salt_partitions: int = 32,
+               salt_partitions: int | str = 32,
                max_groups_per_partition: int = 100_000,
                include_rows: bool = False,
                hash_group_keys: bool | None = None) -> DataFrame:
@@ -292,6 +292,8 @@ def sketch_agg(df: DataFrame,
                                  max_groups_per_partition),
                 schema=partial_schema)
     elif mode == "salt":
+        if salt_partitions == "auto":
+            salt_partitions = choose_salt(df, group_by)
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in proj.columns]),
                       F.lit(salt_partitions)).alias("__salt")
         salted = proj.select("*", salt)
@@ -381,6 +383,33 @@ def _make_partial_fn(group_by, in_names, specs, partial_schema, max_groups,
         yield from flush()
 
     return partial_fn
+
+
+def choose_salt(df: DataFrame, group_by: list[str],
+                sample_fraction: float = 0.002, seed: int = 7,
+                headroom: float = 2.0) -> int:
+    """Pick the salt fan-out S from a frequency pre-pass (SURVEY §7: "S
+    chosen from a count sketch of key frequencies").
+
+    A row-level Bernoulli sample of the KEY COLUMNS only (pure-JVM scan,
+    map-side-combined count — itself skew-immune) estimates the hottest
+    key's share p of all rows. That key occupies ~p of the shuffle, so it
+    needs ~p * shuffle_partitions reducers to be no worse than fair;
+    ``headroom`` doubles that. Uniform data yields S=1 (salting off — no
+    point paying the extra shuffle)."""
+    spark = df.sparkSession
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    samp = (df.select(*group_by)
+              .where(F.rand(seed) < sample_fraction)
+              .groupBy(*group_by).count()
+              .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+              .first())
+    if not samp or not samp["tot"]:
+        return 1
+    share = samp["mx"] / samp["tot"]
+    import math
+
+    return max(1, min(sp, math.ceil(share * sp * headroom)))
 
 
 def _make_salt_partial_fn(group_by, in_names, specs, partial_schema):

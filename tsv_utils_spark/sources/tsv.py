@@ -30,13 +30,21 @@ def read_tsv(spark: SparkSession, path: str, header: bool = True,
 
 
 def csv_to_tsv_df(spark: SparkSession, path: str, header: bool = True,
-                  replacement: str = " ") -> DataFrame:
+                  replacement: str = " ",
+                  multiline: bool = True) -> DataFrame:
     """Read RFC-ish CSV and normalize every string cell to TSV-safe form
     (TAB/CR/LF -> ``replacement``), mirroring csv2tsv's state machine
-    outcome (csv2tsv.d:505-640) declaratively."""
+    outcome (csv2tsv.d:505-640) declaratively.
+
+    ``multiline=True`` (default) honors quoted embedded newlines like the
+    reference always does — but makes files unsplittable (one task per
+    file) and engages the slower parser. Pass ``multiline=False`` when
+    the data is known newline-free: files split across tasks and the
+    fast univocity path applies (~2x per core, parallel ingest).
+    """
     df = (spark.read
           .option("header", header)
-          .option("multiLine", True)
+          .option("multiLine", multiline)
           .option("quote", '"')
           .option("escape", '"')
           .option("inferSchema", False)
