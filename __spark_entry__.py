@@ -567,6 +567,48 @@ def q_sample_topk_det(spark, sf_dir):
         .limit(100).select("l_orderkey", "l_linenumber")
 
 
+@q("filter_empty_blank", """
+SELECT event_id, maybe_blank FROM (
+  SELECT event_id,
+         CASE WHEN value < 2 THEN ''
+              WHEN value < 4 THEN '   '
+              WHEN value < 6 THEN NULL
+              ELSE event_type END AS maybe_blank
+  FROM events
+) WHERE maybe_blank IS NOT NULL AND NOT regexp_matches(maybe_blank, '^\\s*$')
+""")
+def q_filter_empty_blank(spark, sf_dir):
+    # --empty/--blank predicate family (tsv-filter.d:300-310) over a
+    # derived column mixing empty, whitespace-only, NULL and real values
+    e = _t(spark, sf_dir, "events")
+    derived = e.select(
+        "event_id",
+        F.when(F.col("value") < 2, F.lit(""))
+         .when(F.col("value") < 4, F.lit("   "))
+         .when(F.col("value") < 6, F.lit(None))
+         .otherwise(F.col("event_type")).alias("maybe_blank"))
+    return tsv_filter(derived, [P.not_blank("maybe_blank")]) \
+        .select("event_id", "maybe_blank")
+
+
+@q("uniq_ignore_case", """
+SELECT DISTINCT lower(
+  CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END) AS k
+FROM documents
+""")
+def q_uniq_ignore_case(spark, sf_dir):
+    # --ignore-case key folding (tsv-uniq.d:260): 'EN' and 'en' are ONE
+    # key — uniq emits one row per folded key, so a broken fold would
+    # produce duplicate k values and fail the row-count/hash gate
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+         .otherwise(F.col("lang")).alias("mixed"))
+    one_per_key = uniq(d, ["mixed"], ignore_case=True,
+                       order_col="doc_id")
+    return one_per_key.select(F.lower("mixed").alias("k"))
+
+
 @q("events_hourly", """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
        event_type, count(*) AS n, round(sum(value), 2) AS total
@@ -823,12 +865,17 @@ FROM lineitem GROUP BY l_returnflag
 """)
 def q_hll_unique_count(spark, sf_dir):
     # HLL sparse phase is exact at these cardinalities — matching the
-    # exact-distinct oracle while remaining a true sketch at scale
+    # exact-distinct oracle while remaining a true sketch at scale.
+    # sparse_limit is raised for THIS query so sf0.1's ~20k distinct
+    # parts per group stay in the exact phase (blob <= 2MB for 3 groups;
+    # library default stays m/2, the memory-scaled production setting)
     _ensure_shipped(spark)
     li = _t(spark, sf_dir, "lineitem")
     out = sketch_agg(li, ["l_returnflag"],
-                     [SketchSpec("hll", "l_partkey", "parts"),
-                      SketchSpec("hll", "l_suppkey", "supps")])
+                     [SketchSpec("hll", "l_partkey", "parts",
+                                 {"sparse_limit": 1 << 18}),
+                      SketchSpec("hll", "l_suppkey", "supps",
+                                 {"sparse_limit": 1 << 18})])
     return out.select("l_returnflag",
                       F.col("parts").cast("long").alias("parts"),
                       F.col("supps").cast("long").alias("supps"))

@@ -75,7 +75,8 @@ class SketchSpec:
             # 1.6% std error — the blob volume of (groups x partitions)
             # partials is the binding constraint, not single-sketch error.
             # Standalone HyperLogLog keeps p=14.
-            return HyperLogLog(p=self.params.get("p", 12))
+            return HyperLogLog(p=self.params.get("p", 12),
+                               sparse_limit=self.params.get("sparse_limit"))
         if self.op == "kll":
             return KLL(k=self.params.get("k", 200))
         if self.op == "tdigest":
@@ -94,8 +95,13 @@ class SketchSpec:
         raise ValueError(f"bad sketch op {self.op!r}")
 
     def deserialize(self, blob: bytes):
-        return {"hll": HyperLogLog, "kll": KLL, "tdigest": TDigest,
-                "cm": CountMin, "bloom": BloomFilter}[self.op].deserialize(blob)
+        out = {"hll": HyperLogLog, "kll": KLL, "tdigest": TDigest,
+               "cm": CountMin, "bloom": BloomFilter}[self.op].deserialize(blob)
+        if self.op == "hll" and self.params.get("sparse_limit") is not None:
+            # the blob doesn't carry the limit; restore the spec's so
+            # sparse-exact unions during merge keep the requested range
+            out.sparse_limit = self.params["sparse_limit"]
+        return out
 
     # ---- input column expression (JVM-side prep) ----------------------
     def input_expr(self, idx: int):
