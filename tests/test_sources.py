@@ -84,3 +84,23 @@ class TestWriteSplit:
         write_split(tables["region"].coalesce(1), out, lines_per_file=2)
         files = glob.glob(out + "/part-*.parquet")
         assert len(files) >= 3  # 5 rows / 2 per file
+
+
+class TestReadTable:
+    def test_path_and_catalog_sources(self, spark, tables, tmp_path):
+        from tsv_utils_spark.sources.tables import read_table
+
+        # path form -> parquet scan
+        import os
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                            "/root/testdata/sf0.001")
+        by_path = read_table(spark, f"{sf}/region.parquet")
+        assert by_path.count() == tables["region"].count()
+        # catalog form -> spark.read.table (the Iceberg call path)
+        tables["region"].createOrReplaceTempView("region_v")
+        by_name = read_table(spark, "region_v")
+        assert by_name.count() == by_path.count()
+        # time travel options demand a catalog source
+        import pytest
+        with pytest.raises(ValueError, match="catalog"):
+            read_table(spark, f"{sf}/region.parquet", snapshot_id=1)

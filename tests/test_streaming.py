@@ -82,6 +82,51 @@ class TestStreaming:
         dirs = [d for d in os.listdir(state) if d.startswith("state-epoch=")]
         assert dirs == ["state-epoch=1"]
 
+    def test_windowed_equals_batch_with_late_data(self, spark, tables,
+                                                  tmp_path):
+        """Event-time windows: a second micro-batch delivering LATE rows
+        (earlier timestamps than batch one) merges into the right windows
+        — per-window estimates equal the batch job; retention predicate
+        prunes old windows from state."""
+        import os
+
+        from tsv_utils_spark.streaming.sketch_stream import make_processor
+
+        ev = tables["events"]
+        derived = ev.withColumn(
+            "window_start", F.window(F.col("ts"), "6 hours")["start"])
+        # batch 1: the LATER half of events; batch 2 delivers the earlier
+        # half late
+        med = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+        b_on_time = derived.filter(F.col("event_id") >= med)
+        b_late = derived.filter(F.col("event_id") < med)
+        state, out = str(tmp_path / "wst"), str(tmp_path / "wes")
+        specs = [SketchSpec("hll", "user_id", "users")]
+        process = make_processor(derived, ["window_start", "event_type"],
+                                 specs, state, out)
+        process(b_on_time, 0)
+        process(b_late, 1)
+        got = spark.read.parquet(out).toPandas() \
+            .set_index(["window_start", "event_type"]).sort_index()
+        want = sketch_agg(derived, ["window_start", "event_type"], specs,
+                          include_rows=True).toPandas() \
+            .set_index(["window_start", "event_type"]).sort_index()
+        assert (got["rows"] == want["rows"]).all()
+        assert (got["users"] == want["users"]).all()  # late rows exact
+
+        # retention: keep only windows >= the median window start
+        cutoff = sorted({w for w, _ in got.index})[len(
+            {w for w, _ in got.index}) // 2]
+        state2, out2 = str(tmp_path / "wst2"), str(tmp_path / "wes2")
+        process2 = make_processor(
+            derived, ["window_start", "event_type"], specs, state2, out2,
+            state_filter=F.col("window_start") >= F.lit(cutoff))
+        process2(b_on_time, 0)
+        process2(b_late, 1)
+        kept = spark.read.parquet(out2).toPandas()
+        assert (kept["window_start"] >= cutoff).all()
+        assert len(kept) < len(got)
+
     def test_stateful_variant_equals_batch(self, spark, tables, tmp_path):
         from tsv_utils_spark.streaming import streaming_sketch_agg_stateful
 

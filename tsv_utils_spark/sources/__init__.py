@@ -1,5 +1,6 @@
 from tsv_utils_spark.sources.codegen import synthesize_source_code_table
+from tsv_utils_spark.sources.tables import read_table
 from tsv_utils_spark.sources.tsv import csv_to_tsv_df, read_tsv, write_tsv
 
-__all__ = ["synthesize_source_code_table", "read_tsv", "write_tsv",
-           "csv_to_tsv_df"]
+__all__ = ["synthesize_source_code_table", "read_table", "read_tsv",
+           "write_tsv", "csv_to_tsv_df"]

@@ -65,10 +65,14 @@ def make_processor(template_df: DataFrame,
                    specs: list[SketchSpec],
                    state_dir: str,
                    out_dir: str,
-                   max_groups_per_partition: int = 100_000):
+                   max_groups_per_partition: int = 100_000,
+                   state_filter=None):
     """Build the idempotent foreachBatch processor (exposed for direct
     testing of the exactly-once replay guard; ``template_df`` only
-    supplies the schema)."""
+    supplies the schema). ``state_filter`` (optional Column predicate over
+    the state's group columns) prunes state rows at every restate — the
+    retention hook for windowed aggregation (drop windows old enough that
+    no more late data is expected)."""
     spark = template_df.sparkSession
     group_by = list(group_by)
     in_cols = [spec.input_expr(i) for i, spec in enumerate(specs)]
@@ -120,6 +124,8 @@ def make_processor(template_df: DataFrame,
         new_state = partials.groupBy(*group_by).applyInPandas(
             _restate_fn(group_by, specs, partial_schema),
             schema=partial_schema)
+        if state_filter is not None:
+            new_state = new_state.where(state_filter)
         tmp = os.path.join(state_dir, f".tmp-{epoch_id}")
         new_state.write.mode("overwrite").parquet(tmp)
         committed = os.path.join(state_dir, f"state-epoch={epoch_id}")
@@ -148,6 +154,42 @@ def streaming_sketch_agg(stream_df: DataFrame,
     process = make_processor(stream_df, group_by, specs, state_dir, out_dir,
                              max_groups_per_partition)
     writer = (stream_df.writeStream
+              .foreachBatch(process)
+              .outputMode("update")
+              .option("checkpointLocation", os.path.join(state_dir, "ckpt")))
+    for k, v in write_stream_kwargs.items():
+        writer = writer.option(k, v)
+    return writer.start()
+
+
+def streaming_windowed_sketch_agg(stream_df: DataFrame,
+                                  time_col: str,
+                                  group_by: list[str],
+                                  specs: list[SketchSpec],
+                                  state_dir: str,
+                                  out_dir: str,
+                                  window_duration: str = "1 hour",
+                                  retention_predicate=None,
+                                  **write_stream_kwargs):
+    """Event-time tumbling-window sketch aggregation.
+
+    The window start becomes an extra group key, so per-(window, keys)
+    sketch blobs are the state. LATE DATA needs no watermark-drop: a late
+    row merges into its window's sketch whenever it arrives, and
+    associativity makes the window's estimate identical to an on-time
+    run — strictly better than discarding. What a watermark normally
+    bounds (state growth) is handled by ``retention_predicate``: an
+    optional Column over ``window_start`` evaluated at every restate
+    (e.g. ``F.col("window_start") >= F.lit(cutoff)``) that drops windows
+    old enough that no more late data is expected.
+    """
+    derived = stream_df.withColumn(
+        "window_start",
+        F.window(F.col(time_col), window_duration)["start"])
+    process = make_processor(derived, ["window_start", *group_by], specs,
+                             state_dir, out_dir,
+                             state_filter=retention_predicate)
+    writer = (derived.writeStream
               .foreachBatch(process)
               .outputMode("update")
               .option("checkpointLocation", os.path.join(state_dir, "ckpt")))
