@@ -69,8 +69,10 @@ def ensure_inputs(spark) -> None:
          .write.mode("overwrite").option("sep", "\t")
          .option("header", True).option("quote", "").csv(TSV_PATH))
     if not os.path.exists(os.path.join(CSV_PATH, "_SUCCESS")):
+        # 16 files: production CSV arrives in many files, so multiLine
+        # mode (unsplittable per file) still parallelizes per-file
         (spark.read.parquet(SRC_PATH).limit(7_000_000)
-         .select("repo", "path", "lang", "content_len")
+         .select("repo", "path", "lang", "content_len").repartition(16)
          .write.mode("overwrite").option("header", True)
          .option("quote", '"').option("escape", '"').csv(CSV_PATH))
 

@@ -41,14 +41,32 @@ def number_lines_window(df: DataFrame, order_col: str, start: int = 1,
         .select(out_col, *df.columns)
 
 
+def _partitioning_is_rerun_stable(df: DataFrame) -> bool:
+    """True when re-executing ``df`` is guaranteed to reproduce the same
+    partition membership: a file-backed plan with no exchange (scan
+    splits are deterministic). Shuffled/sampled/in-memory plans can place
+    rows differently across executions (RangePartitioner seeds, RDD-id-
+    derived randomness), so two jobs over them must read a materialized
+    copy instead."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return False
+    return bool(df.inputFiles()) and "Exchange" not in plan
+
+
 def number_lines_distributed(df: DataFrame, start: int = 1,
                              out_col: str = "line") -> DataFrame:
     """Scale path: per-partition counts -> offsets (tiny driver step) ->
     per-partition running index. No global sort; numbering follows the
-    current partition order. The input partitioning is materialized once
-    (localCheckpoint) so the count job and the numbering job cannot
-    observe different partition placements (nondeterministic shuffles)."""
-    df = df.localCheckpoint(eager=True)
+    current partition order.
+
+    The count job and the numbering job must observe the SAME partition
+    placement. A deterministic file scan already guarantees that (and at
+    100 TB we must not materialize the input just to count it); anything
+    with an exchange in the plan gets pinned via localCheckpoint."""
+    if not _partitioning_is_rerun_stable(df):
+        df = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     counts = (df.withColumn("__pid", F.spark_partition_id())
                 .groupBy("__pid").count().orderBy("__pid").collect())
