@@ -1,0 +1,72 @@
+"""Regenerate docs/PLANS.md: `.explain("formatted")` captures of the
+flagship operators with what-to-look-for notes. Run after changing any
+operator's plan shape (tests/test_plans.py pins the invariants; this doc
+shows the full plans to a reviewer)."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tsv_utils_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+NOTES = {
+    "filter_numeric":
+        "predicate pushdown + column pruning into the parquet scan",
+    "join_append":
+        "filter side deduped then BroadcastExchange; probe side never "
+        "shuffles",
+    "summarize_basic":
+        "ONE hash-partitioning exchange; partial HashAggregate before it "
+        "(map-side combine), final after",
+    "sample_topk_det":
+        "reservoir compiles to TakeOrderedAndProject: per-partition heaps "
+        "+ driver merge, no global sort",
+    "hll_unique_count":
+        "two-level sketch plan: mapInArrow partials inside the scan "
+        "stage, only (key, blob) rows cross the exchange",
+    "sample_replacement_det":
+        "exact-N multinomial: the n draws reduce to (idx, multiplicity) "
+        "and BROADCAST onto the numbered rows — undrawn rows never move",
+    "events_hourly":
+        "tumbling event-time window is just a grouping expression — "
+        "same partial/final aggregate shape as any groupBy",
+    "uniq_wholeline":
+        "whole-line dedup with auto input-order: the scan carries "
+        "_metadata (file, row_index) — order costs no shuffle",
+}
+
+
+def main() -> None:
+    spark = get_spark("plans", cores=4, shuffle_partitions=4)
+    qs = entrymod.queries()
+    out = [
+        "# Physical plans — flagship operators (`.explain(\"formatted\")`)",
+        "",
+        "Captured at sf0.001, local[4] (regenerate: `python tools/"
+        "gen_plans.py`). What to look for is noted per plan; these are "
+        "the plans the engine is DESIGNED to produce — "
+        "tests/test_plans.py pins the load-bearing properties.",
+    ]
+    for name, note in NOTES.items():
+        df = qs[name](spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out += ["", f"## {name}", "", f"*{note}*", "", "```",
+                buf.getvalue().rstrip(), "```"]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "PLANS.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote docs/PLANS.md with {len(NOTES)} plans")
+
+
+if __name__ == "__main__":
+    main()
