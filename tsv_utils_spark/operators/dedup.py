@@ -68,7 +68,8 @@ def minhash_signatures(df: DataFrame, content_col: str, id_col: str,
 
 def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
                   k: int = 128, bands: int = 16, shingle_n: int = 3,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  max_bucket_size: int | None = 10_000) -> DataFrame:
     """Near-dup clusters via MinHash-LSH with exact-Jaccard verification.
 
     Returns (id_col, dup_of) pairs where dup_of is the minimum doc id of the
@@ -76,9 +77,12 @@ def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
       1. signatures: one Arrow pass, no shuffle
       2. explode to (band_key, id): shuffle keyed by band bucket — skew-safe
          because identical docs share all bands but bucket fan-out is bands*n
-      3. within-bucket candidate pairs (applyInPandas per bucket; buckets are
-         small by construction — a bucket the size of the corpus would mean
-         all docs identical)
+      3. within-bucket candidate pairs — quadratic in bucket size, so
+         buckets above ``max_bucket_size`` are dropped (standard LSH
+         guard: a bucket that big is a degenerate band — e.g. the
+         empty-signature bucket of a corpus full of empty docs — and a
+         10k bucket already means 50M candidate pairs). Near-identical
+         docs still pair through their other, non-degenerate bands.
       4. exact verify on the pair list (join back to content, Arrow batch)
     """
     sigs = minhash_signatures(df, content_col, id_col, k=k, shingle_n=shingle_n)
@@ -97,6 +101,13 @@ def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
 
     banded = sigs.mapInPandas(
         to_bands, schema=f"{_field_ddl(df, id_col)}, band int, bucket long")
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket") \
+            .agg(F.count(F.lit(1)).alias("__bn"))
+        banded = banded.join(
+            sizes.where(F.col("__bn") <= max_bucket_size)
+                 .select("band", "bucket"),
+            ["band", "bucket"], "left_semi")
 
     # candidate pairs: self-join within (band, bucket); min-id as left side
     a, b = banded.alias("a"), banded.alias("b")

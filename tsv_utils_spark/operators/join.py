@@ -124,9 +124,11 @@ def build_bloom(filter_df: DataFrame, keys: list[str], fpr: float = 0.001,
                 capacity: int | None = None) -> BloomFilter:
     """Build one Bloom filter over the (composite) filter keys.
 
-    Distributed build: per-partition partial Blooms via mapInPandas, OR-merged
-    on the driver (each partial is m/8 bytes — for fpr=1e-3 and 100M keys
-    that's ~180MB total once, not per executor probe row).
+    Distributed build: per-partition partial Blooms via mapInPandas,
+    OR-merged with a TREE reduce — executors combine pairs of bitmaps so
+    the driver receives ONE final blob (m/8 bytes; ~180MB at 100M keys /
+    fpr=1e-3), never partitions x blob. A driver-side loop over P
+    partials would pull P x 180MB — the quiet scale-killer this avoids.
     """
     key_col = _composite(keys)
     keyed = filter_df.select(key_col.alias("__k"))
@@ -140,11 +142,15 @@ def build_bloom(filter_df: DataFrame, keys: list[str], fpr: float = 0.001,
             bf.update(pdf["__k"].to_numpy(dtype=object))
         yield pd.DataFrame({"blob": [bf.serialize()]})
 
-    blobs = keyed.mapInPandas(partial, schema="blob binary").collect()
-    out = BloomFilter(m=m, k=k)
-    for r in blobs:
-        out.merge(BloomFilter.deserialize(bytes(r.blob)))
-    return out
+    blobs = keyed.mapInPandas(partial, schema="blob binary")
+
+    def or_merge(a: bytes, b: bytes) -> bytes:
+        return BloomFilter.deserialize(a) \
+            .merge(BloomFilter.deserialize(b)).serialize()
+
+    merged = blobs.rdd.map(lambda r: bytes(r.blob)) \
+        .treeReduce(or_merge, depth=2)
+    return BloomFilter.deserialize(merged)
 
 
 def _composite(keys: list[str]):
