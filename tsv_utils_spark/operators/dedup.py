@@ -198,12 +198,16 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str, id_col: str,
 
 def embedding_dedup(df: DataFrame, vec_col: str, id_col: str,
                     threshold: float = 0.95, planes: int = 12,
-                    tables: int = 8, seed: int = 42) -> DataFrame:
+                    tables: int = 8, seed: int = 42,
+                    max_bucket_size: int | None = 10_000) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucketed candidates (no
     all-pairs), exact cosine verify, keep pairs >= threshold.
 
     Returns (id_a, id_b, score). The scale path for semantic dedup of a
-    document corpus via its embedding column.
+    document corpus via its embedding column. Buckets above
+    ``max_bucket_size`` are dropped before the quadratic within-bucket
+    self-join (degenerate-band guard, same rationale as minhash_dedup —
+    near-dups still collide in their other tables).
     """
     from tsv_utils_spark.operators.similarity import (
         _bucket_df,
@@ -215,6 +219,12 @@ def embedding_dedup(df: DataFrame, vec_col: str, id_col: str,
     dim = len(df.select(vec_col).first()[0])
     hp = _hyperplanes(dim, planes, tables, seed)
     b1 = _bucket_df(df, id_col, vec_col, hp, "a")
+    if max_bucket_size is not None:
+        ok = (b1.groupBy("table", "bucket")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .where(F.col("__bn") <= max_bucket_size)
+                .select("table", "bucket"))
+        b1 = b1.join(ok, ["table", "bucket"], "left_semi")
     b2 = _bucket_df(df, id_col, vec_col, hp, "b")
     cand = (b1.join(b2, ["table", "bucket"])
               .where(F.col("a_id") < F.col("b_id"))

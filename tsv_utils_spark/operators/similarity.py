@@ -99,16 +99,27 @@ def _bucket_df(df: DataFrame, id_col: str, vec_col: str, hp: np.ndarray,
 def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     planes: int = 12, tables: int = 8, seed: int = 42,
-                    exclude_self: bool = True) -> DataFrame:
+                    exclude_self: bool = True,
+                    max_bucket_size: int | None = None) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
 
     Candidate generation is equi-joins on (table, bucket); exact cosine is
     computed only on candidates. P(bucket match in one table) =
     (1 - theta/pi)^planes for angle theta — tables trade recall for cost.
+    ``max_bucket_size`` (opt-in — it trades recall) drops degenerate
+    corpus buckets before the join: a bucket holding a large fraction of
+    the corpus (e.g. near-zero vectors hashing alike) would make the
+    candidate join quadratic.
     """
     dim = len(corpus.select(vec_col).first()[0])
     hp = _hyperplanes(dim, planes, tables, seed)
     cb = _bucket_df(corpus, id_col, vec_col, hp, "neighbor")
+    if max_bucket_size is not None:
+        ok = (cb.groupBy("table", "bucket")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .where(F.col("__bn") <= max_bucket_size)
+                .select("table", "bucket"))
+        cb = cb.join(ok, ["table", "bucket"], "left_semi")
     qb = _bucket_df(queries, id_col, vec_col, hp, "query")
     cand = (qb.join(cb, ["table", "bucket"])
               .select("query_id", "neighbor_id").dropDuplicates())
