@@ -113,10 +113,18 @@ class TDigest:
         return [self.quantile(q) for q in qs]
 
     def rank_error(self, q: float = 0.5) -> float:
-        """Conservative normalized rank-error bound at quantile q (k1 scale)."""
+        """Typical normalized rank-error width at quantile q.
+
+        Half the k1 cluster rank width: the k1 scale has
+        k'(q) = delta / (2*pi*sqrt(q(1-q))), so one cluster spans
+        2*pi*sqrt(q(1-q))/delta of rank space and midpoint interpolation
+        errs by at most about half of that. (The earlier q(1-q)/delta
+        form understates the width at extreme tails, where sqrt(q(1-q))
+        >> q(1-q).) Floored at 2/n resolution."""
         if self.is_exact:
             return 0.0
-        return max(8.0 * q * (1.0 - q) / self.delta, 2.0 / self.n if self.n else 0.0)
+        w = np.pi * np.sqrt(q * (1.0 - q)) / self.delta
+        return max(float(w), 2.0 / self.n if self.n else 0.0)
 
     # -- serialization --------------------------------------------------
     def serialize(self) -> bytes:
