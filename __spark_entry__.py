@@ -296,8 +296,10 @@ SELECT lang, n_missing, n_present,
                       AS DOUBLE) / 10000.0 END AS avg_len_excl
 FROM (
   SELECT lang,
-         sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_missing,
-         sum(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END) AS n_present,
+         CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_missing,
+         CAST(sum(CASE WHEN text IS NOT NULL AND text <> '' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_present,
          sum(CASE WHEN text IS NOT NULL AND text <> ''
                   THEN length(text) ELSE 0 END) AS sum_len
   FROM documents GROUP BY lang
@@ -636,7 +638,8 @@ WITH gaps AS (
               THEN 1 ELSE 0 END AS new_s
   FROM events
 )
-SELECT user_id, sum(new_s) AS n_sessions FROM gaps GROUP BY user_id
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+FROM gaps GROUP BY user_id
 """)
 def q_events_sessions(spark, sf_dir):
     # sessionization: 30-minute inactivity gap starts a new session;
@@ -684,7 +687,8 @@ def q_join_append_dup(spark, sf_dir):
 
 
 @q("tsv_roundtrip", """
-SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+SELECT lang, source, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY lang, source
 """)
 def q_tsv_roundtrip(spark, sf_dir):
@@ -755,7 +759,8 @@ def q_unique_values_first_seen(spark, sf_dir):
 
 
 @q("filter_len", """
-SELECT doc_id, length(text) AS n_cp, octet_length(encode(text)) AS n_bytes
+SELECT doc_id, CAST(length(text) AS INTEGER) AS n_cp,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
 FROM documents
 WHERE length(text) >= 100 AND octet_length(encode(text)) <= 1000
 """)
@@ -934,8 +939,9 @@ def q_dedup_exact_docs(spark, sf_dir):
 
 @q("text_tokens", """
 SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+            AS INTEGER) AS n_tokens
 FROM documents
 """)
 def q_text_tokens(spark, sf_dir):
@@ -945,7 +951,8 @@ def q_text_tokens(spark, sf_dir):
 
 @q("text_quality", """
 SELECT doc_id,
-       length(regexp_replace(text, '[^.!?]', '', 'g')) AS n_punct,
+       CAST(length(regexp_replace(text, '[^.!?]', '', 'g'))
+            AS INTEGER) AS n_punct,
        round(CASE WHEN length(text) > 0
                   THEN length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
                        / length(text) ELSE 0 END, 6) AS upper_ratio
@@ -1071,7 +1078,9 @@ WITH m AS (
                ELSE 0 END, 6) AS stopword_ratio
   FROM m
 )
-SELECT doc_id, n_tokens, n_pieces, n_punct, upper_ratio, stopword_ratio,
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+  CAST(n_pieces AS INTEGER) AS n_pieces,
+  CAST(n_punct AS INTEGER) AS n_punct, upper_ratio, stopword_ratio,
   (
     (CASE WHEN n >= 200 THEN 1.0 ELSE n / 200.0 END) +
     (CASE WHEN n_punct::DOUBLE / greatest(n, 1) <= 0.05 THEN 1.0

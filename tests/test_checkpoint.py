@@ -89,6 +89,84 @@ class TestCheckpoint:
             .toPandas().set_index("l_returnflag")
         assert (out.sort_index()["uc"] == direct.sort_index()["uc"]).all()
 
+    def test_derived_input_falls_back_to_hash_slice(self, multi_file_lineitem,
+                                                    tmp_path):
+        """A FILTERED scan without ``transform`` must NOT take the
+        file-sliced path (each epoch would re-read raw files and silently
+        drop the filter) — it falls back to hash slicing and the result
+        matches the direct filtered job."""
+        li = multi_file_lineitem.filter("l_quantity > 25")
+        ckpt = str(tmp_path / "ckpt_derived")
+        out = sketch_agg_checkpointed(li, ["l_returnflag"], SPECS[:1], ckpt,
+                                      epochs=3) \
+            .toPandas().set_index("l_returnflag").sort_index()
+        assert epoch_file_groups(ckpt) is None  # no manifest => hash slice
+        direct = sketch_agg(li, ["l_returnflag"], SPECS[:1]) \
+            .toPandas().set_index("l_returnflag").sort_index()
+        assert (out["uc"] == direct["uc"]).all()
+
+    def test_transform_requires_bare_scan(self, multi_file_lineitem,
+                                          tmp_path):
+        li = multi_file_lineitem.filter("l_quantity > 25")
+        with pytest.raises(ValueError, match="bare file scan"):
+            sketch_agg_checkpointed(li, ["l_returnflag"], SPECS[:1],
+                                    str(tmp_path / "ckpt_bad"), epochs=2,
+                                    transform=lambda d: d)
+
+    def test_measured_bytes_single_scan(self, multi_file_lineitem, spark,
+                                        tmp_path):
+        """TASK-METRIC check of no-read-amplification: actual input bytes
+        across all epoch jobs stay within 1.3x of one full scan's bytes
+        (file-slice disjointness is asserted separately; this measures what
+        the executors really read)."""
+        import time
+
+        li = multi_file_lineitem
+        store = spark.sparkContext._jsc.sc().statusStore()
+
+        def input_bytes():
+            it = store.executorList(True)
+            return sum(it.apply(i).totalInputBytes()
+                       for i in range(it.size()))
+
+        def settled_bytes(prev):
+            # the status store is fed by an async listener bus — poll
+            # until the counter stops moving
+            for _ in range(60):
+                time.sleep(0.1)
+                cur = input_bytes()
+                if cur == prev:
+                    return cur
+                prev = cur
+            return prev
+
+        b0 = settled_bytes(input_bytes())
+        # one full scan of the columns the sketch touches
+        li.select("l_returnflag", "l_partkey").groupBy("l_returnflag") \
+          .count().collect()
+        b1 = settled_bytes(b0)
+        one_scan = b1 - b0
+        assert one_scan > 0
+        ckpt = str(tmp_path / "ckpt_bytes")
+        sketch_agg_checkpointed(li, ["l_returnflag"], SPECS[:1], ckpt,
+                                epochs=4).collect()
+        b2 = settled_bytes(b1)
+        epochs_total = b2 - b1
+        # the checkpointed run also reads back its own partials (per-epoch
+        # metrics job + final merge). That read-back is bounded by the
+        # PARTIALS' size — which shrinks relative to the input at scale but
+        # is comparable to it at sf0.001 — so subtract it (2 readbacks)
+        # before asserting the INPUT was scanned only once.
+        import glob
+        import os
+        partial_bytes = sum(
+            os.path.getsize(p)
+            for p in glob.glob(f"{ckpt}/partials/epoch=*/*.parquet"))
+        input_side = epochs_total - 2 * partial_bytes
+        assert input_side < 1.2 * one_scan, \
+            (f"epoch jobs read {epochs_total}B total, {input_side}B net of "
+             f"2x partials ({partial_bytes}B) vs one scan {one_scan}B")
+
     def test_fallback_hash_slicing_for_memory_df(self, spark, tmp_path):
         """Non-file-backed input falls back to the hash slice; resume and
         totals still hold."""

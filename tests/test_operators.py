@@ -276,6 +276,23 @@ class TestJoin:
         assert got_semi == exact_semi
         assert got_anti == exact_anti
 
+    def test_bloom_empty_filter_side(self, spark, tables):
+        """A zero-partition filter df (createDataFrame([], schema)) must
+        yield an empty Bloom — semi keeps nothing, anti keeps all."""
+        from tsv_utils_spark.operators.join import (
+            bloom_anti_join,
+            bloom_semi_join,
+            build_bloom,
+        )
+
+        empty = spark.createDataFrame([], "c_custkey bigint")
+        bf = build_bloom(empty, ["c_custkey"], capacity=100)
+        assert not bf.contains(np.asarray(["1", "2"], dtype=object)).any()
+        orders = tables["orders"].withColumnRenamed("o_custkey", "c_custkey")
+        assert bloom_semi_join(orders, empty, ["c_custkey"]).count() == 0
+        assert bloom_anti_join(orders, empty, ["c_custkey"]).count() \
+            == orders.count()
+
 
 # ------------------------------------------------------------------ uniq
 class TestUniq:
@@ -310,6 +327,22 @@ class TestUniq:
         out = uniq(spark.createDataFrame(pdf), ["k"], order_col="rid",
                    ignore_case=True).toPandas()
         assert sorted(out["rid"]) == [1, 3]
+
+    def test_auto_order_with_user_row_id_column(self, spark, tmp_path):
+        """Auto-derived input order must not collide with a USER column
+        named 'row_id' (the internal name is collision-proof)."""
+        src = str(tmp_path / "has_rowid")
+        spark.createDataFrame(
+            [("x", 10), ("y", 20), ("x", 30)], ["k", "row_id"]) \
+            .coalesce(1).write.parquet(src)
+        scan = spark.read.parquet(src)
+        out = uniq(scan, ["k"]).toPandas()  # no order_col: auto-derive
+        assert sorted(out.columns) == ["k", "row_id"]
+        assert len(out) == 2
+        # equiv mode exercises the auto-derived column end-to-end
+        out2 = uniq(scan, ["k"], mode="equiv").toPandas()
+        assert sorted(out2.columns) == ["equiv_id", "k", "row_id"]
+        assert out2["equiv_id"].nunique() == 2
 
 
 # ---------------------------------------------------------------- sample

@@ -256,6 +256,41 @@ class TestCountMin:
         assert cm2.count("m") == 42
         assert cm2.mode() == ("m", 42)
 
+    def test_serde_preserves_typed_keys(self):
+        # Decimal / date / datetime candidate keys must survive a
+        # serialize round-trip with IDENTITY intact: a stringified
+        # fallback would split a value's counts between the typed and
+        # string form after merge
+        import datetime
+        import decimal
+
+        keys = [decimal.Decimal("1.50"),
+                datetime.date(2024, 3, 1),
+                datetime.datetime(2024, 3, 1, 12, 30, 0)]
+        cm = CountMin(depth=3, width=1 << 10)
+        cm.update(np.asarray(keys * 5, dtype=object))
+        cm2 = CountMin.deserialize(cm.serialize())
+        fresh = CountMin(depth=3, width=1 << 10)
+        fresh.update(np.asarray(keys * 3, dtype=object))
+        cm2.merge(fresh)
+        for k in keys:
+            assert cm2.count(k) == 8
+        mode_val, mode_n = cm2.mode()
+        assert mode_n == 8
+        assert type(mode_val) in (decimal.Decimal, datetime.date,
+                                  datetime.datetime)
+
+    def test_unsupported_key_type_rejected_loudly(self):
+        import pytest
+
+        class Weird:
+            pass
+
+        cm = CountMin(depth=3, width=1 << 10)
+        cm.update(np.asarray([Weird()], dtype=object))
+        with pytest.raises(TypeError, match="not\\s+round-trippable"):
+            cm.serialize()
+
 
 # ------------------------------------------------------------------- Bloom
 class TestBloom:

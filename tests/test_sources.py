@@ -55,6 +55,48 @@ class TestTsvIO:
         assert ("a", "1", 'say "hi"') in rows  # quotes survive as data
         assert ("b", "2", "plain") in rows
 
+    def test_header_skip_is_positional_later_in_file(self, spark, tmp_path):
+        # a DATA row identical to the header line must survive when it is
+        # not line 1 (the reference skips line 1 by position,
+        # tsv-select.d:508-511); default mode guarantees this outside the
+        # first split — here the file is one split, so use two files to
+        # also check the per-file rule
+        d = tmp_path / "hdr_pos"
+        d.mkdir()
+        (d / "a.tsv").write_text("k\tv\n1\t2\nk\tv\n3\t4\n")
+        (d / "b.tsv").write_text("k\tv\n5\t6\n")
+        # exact mode: the mid-file "k\tv" data row survives; both files'
+        # line-1 headers are dropped
+        back = read_tsv(spark, str(d), exact_header=True)
+        rows = sorted(tuple(r) for r in back.collect())
+        assert rows == [("1", "2"), ("3", "4"), ("5", "6"), ("k", "v")]
+        # default single-scan mode: positional within block-start splits
+        # only — documented residual drops the header-equal data row when
+        # it falls in the same (first) split, but never invents rows
+        back_fast = read_tsv(spark, str(d))
+        rows_fast = sorted(tuple(r) for r in back_fast.collect())
+        assert rows_fast == [("1", "2"), ("3", "4"), ("5", "6")]
+
+    def test_csv_reader_path_keeps_header_equal_data_row(self, spark,
+                                                         tmp_path):
+        d = tmp_path / "hdr_csv"
+        d.mkdir()
+        (d / "a.tsv").write_text("k\tv\n1\t2\nk\tv\n")
+        back = read_tsv(spark, str(d), fast=False)
+        rows = sorted(tuple(r) for r in back.collect())
+        assert rows == [("1", "2"), ("k", "v")]
+
+    def test_empty_lines_kept_as_empty_records(self, spark, tmp_path):
+        # tsv-utils treats an empty line as a record with one empty field;
+        # the fast path must keep it (univocity's CSV path drops it)
+        d = tmp_path / "hdr_blank"
+        d.mkdir()
+        (d / "a.tsv").write_text("k\tv\n1\t2\n\n3\t4\n")
+        back = read_tsv(spark, str(d))
+        rows = sorted((r[0] or "", r[1] or "") for r in back.collect())
+        assert ("", "") in rows
+        assert len(rows) == 3
+
     def test_csv_to_tsv_semantics(self, spark, tmp_path):
         src = tmp_path / "in.csv"
         src.write_text('name,note\n"smith, j","line1\nline2\twide"\n')

@@ -30,6 +30,10 @@ def _norm_path(p: str) -> str:
     return re.sub(r"^[a-z0-9]+:/+", "/", p)
 
 ROW_ID_COL = "row_id"
+# operators that AUTO-derive an order column use this collision-proof
+# internal name (and drop it from their output): user data legitimately
+# containing a 'row_id' column must not collide with the derived one
+AUTO_ROW_ID_COL = "__tsv_row_id"
 
 # row_index gets the low 40 bits (10^12 rows/file), file ordinal the rest
 _ROW_BITS = 40
@@ -41,6 +45,10 @@ def input_row_id(df: DataFrame, out_col: str = ROW_ID_COL) -> DataFrame:
     Must be applied to the scan itself (before projections drop the
     hidden ``_metadata`` column). Raises ValueError for non-file inputs.
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"input_row_id: column {out_col!r} already exists — pass a "
+            f"different out_col")
     files = sorted(_norm_path(f) for f in df.inputFiles())
     if not files:
         raise ValueError(

@@ -148,9 +148,14 @@ def build_bloom(filter_df: DataFrame, keys: list[str], fpr: float = 0.001,
         return BloomFilter.deserialize(a) \
             .merge(BloomFilter.deserialize(b)).serialize()
 
-    merged = blobs.rdd.map(lambda r: bytes(r.blob)) \
-        .treeReduce(or_merge, depth=2)
-    return BloomFilter.deserialize(merged)
+    rdd = blobs.rdd.map(lambda r: bytes(r.blob))
+    # a ZERO-partition filter side (spark.createDataFrame([], schema))
+    # yields an empty RDD and treeReduce raises on the empty collection;
+    # an empty Bloom (matches nothing) is the correct identity. Empty-but-
+    # partitioned inputs are fine: each partition emits one blob.
+    if rdd.getNumPartitions() == 0:
+        return BloomFilter(m=m, k=k)
+    return BloomFilter.deserialize(rdd.treeReduce(or_merge, depth=2))
 
 
 def _composite(keys: list[str]):

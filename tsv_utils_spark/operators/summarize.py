@@ -186,11 +186,14 @@ def summarize(df: DataFrame,
     group_by = list(group_by or [])
     if order_col is None and any(op.kind in ("first", "last", "values")
                                  for op in ops):
-        from tsv_utils_spark.functions.rowid import ROW_ID_COL, try_input_row_id
+        from tsv_utils_spark.functions.rowid import (
+            AUTO_ROW_ID_COL,
+            try_input_row_id,
+        )
 
-        derived = try_input_row_id(df)
+        derived = try_input_row_id(df, AUTO_ROW_ID_COL)
         if derived is not None:
-            df, order_col = derived, ROW_ID_COL
+            df, order_col = derived, AUTO_ROW_ID_COL
     if strict_numeric:
         from tsv_utils_spark.operators.filter import assert_numeric
 

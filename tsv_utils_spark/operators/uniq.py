@@ -62,11 +62,14 @@ def uniq(df: DataFrame,
     keys = list(keys or df.columns)  # resolve BEFORE any derived column
     auto_order = None
     if order_col is None:
-        from tsv_utils_spark.functions.rowid import ROW_ID_COL, try_input_row_id
+        from tsv_utils_spark.functions.rowid import (
+            AUTO_ROW_ID_COL,
+            try_input_row_id,
+        )
 
-        derived = try_input_row_id(df)
+        derived = try_input_row_id(df, AUTO_ROW_ID_COL)
         if derived is not None:
-            df, order_col, auto_order = derived, ROW_ID_COL, ROW_ID_COL
+            df, order_col, auto_order = derived, AUTO_ROW_ID_COL, AUTO_ROW_ID_COL
     kc = _key_cols(df, keys, ignore_case)
     knames = [f"__k_{k}" for k in keys]
     work = df.select("*", *kc)

@@ -50,6 +50,23 @@ def _epoch_expr(df: DataFrame, epochs: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(epochs))
 
 
+_BARE_SCAN_NODES = {"LogicalRelation", "LogicalRelationWithTable",
+                    "DataSourceV2Relation", "DataSourceV2ScanRelation"}
+
+
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True iff df's optimized plan is a single relation node — no
+    filters, projections, or derived columns between the scan and us.
+    Only then may an epoch legally re-read the raw files directly;
+    any lineage would otherwise be silently dropped."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return (plan.children().isEmpty()
+                and plan.getClass().getSimpleName() in _BARE_SCAN_NODES)
+    except Exception:
+        return False
+
+
 def _lineage_partial_schema(df, group_by, n_specs) -> T.StructType:
     base = _partial_schema(df, group_by, n_specs)
     return T.StructType(
@@ -99,8 +116,22 @@ def sketch_agg_checkpointed(df: DataFrame,
     manifest_path = os.path.join(checkpoint_dir, "manifest.json")
     os.makedirs(checkpoint_dir, exist_ok=True)
 
+    # File slicing re-reads raw files per epoch, so it is only legal when
+    # df IS the raw scan: a filtered/derived df still reports inputFiles(),
+    # and slicing it by file would silently drop the filter. Callers with
+    # lineage pass the raw scan + ``transform``; otherwise fall back to
+    # the hash slice, which keeps the full lineage (correct, E× re-scan).
+    bare = _is_bare_scan(df)
+    if transform is not None and not bare:
+        raise ValueError(
+            "sketch_agg_checkpointed(transform=...) requires df to be the "
+            "bare file scan — the epoch slices re-read the raw files and "
+            "apply transform; df's own lineage would be lost. Pass "
+            "spark.read.parquet(...) as df and fold everything else into "
+            "transform.")
     files = sorted(df.inputFiles())
-    use_files = bool(files) and all(f.endswith(".parquet") for f in files)
+    use_files = (bool(files) and bare
+                 and all(f.endswith(".parquet") for f in files))
     if os.path.exists(manifest_path):
         # resume MUST slice exactly as the original run did, even if files
         # were added/compacted since — the manifest is the commit

@@ -22,6 +22,8 @@ unbounded cardinality.
 from __future__ import annotations
 
 import json
+import datetime
+import decimal
 import struct
 
 import numpy as np
@@ -46,8 +48,22 @@ def _enc_candidates(cand: dict) -> bytes:
             items.append(("f", v.hex(), n))
         elif isinstance(v, (bytes, bytearray)):
             items.append(("B", bytes(v).hex(), n))
+        elif isinstance(v, str):
+            items.append(("s", v, n))
+        elif isinstance(v, decimal.Decimal):
+            items.append(("d", str(v), n))
+        elif isinstance(v, datetime.datetime):  # before date: subclass
+            items.append(("t", v.isoformat(), n))
+        elif isinstance(v, datetime.date):
+            items.append(("D", v.isoformat(), n))
         else:
-            items.append(("s", str(v), n))
+            # a silent str(v) fallback would split a key's counts in two
+            # after a serialize round-trip (stringified vs typed) and
+            # change the finalized mode's type — reject loudly instead
+            raise TypeError(
+                f"count-min candidate key type {type(v).__name__} is not "
+                f"round-trippable; supported: None/bool/int/float/bytes/"
+                f"str/Decimal/date/datetime")
     return json.dumps(items, ensure_ascii=False).encode("utf-8")
 
 
@@ -64,6 +80,12 @@ def _dec_candidates(blob: bytes) -> dict:
             key = float.fromhex(v)
         elif t == "B":
             key = bytes.fromhex(v)
+        elif t == "d":
+            key = decimal.Decimal(v)
+        elif t == "t":
+            key = datetime.datetime.fromisoformat(v)
+        elif t == "D":
+            key = datetime.date.fromisoformat(v)
         else:
             key = v
         out[key] = int(n)

@@ -19,24 +19,53 @@ from pyspark.sql import functions as F
 
 def read_tsv(spark: SparkSession, path: str, header: bool = True,
              schema=None, delimiter: str = "\t",
-             fast: bool = True) -> DataFrame:
+             fast: bool = True, exact_header: bool = False) -> DataFrame:
     """Read tsv-utils-format TSV: TAB-delimited, NO quoting/escaping.
 
     ``fast=True`` (default) models the format exactly as the reference
     does (utils.d bufferedByLine: split each line on the delimiter,
     nothing else): ``spark.read.text`` + a JVM-side split — measured
     ~1.4x the univocity CSV reader per core, and semantically tighter
-    (quotes are data, never parsed). Header lines are removed by exact
-    match, which also drops repeated headers in multi-file inputs (the
-    same rule tsv-append applies). ``schema`` supplies names and
+    (quotes are data, never parsed). ``schema`` supplies names and
     per-field try_cast types; otherwise the header names all-string
     columns. ``fast=False`` falls back to the CSV reader with quoting
-    disabled."""
+    disabled (positional per-file header skip, but univocity drops
+    fully blank lines — the fast path keeps them as empty records,
+    matching the reference).
+
+    Header semantics (the reference skips line 1 of each file by
+    POSITION — tsv-select.d:508-511, utils.d:1749; the text source has
+    no ``_metadata.row_index``, so position is approximated from block
+    offsets):
+
+    - The header line is taken from a row whose file-block starts at
+      byte 0, i.e. contractually line 1 of SOME input file (not just
+      "whatever row came back first", which split packing can reorder).
+    - Default removal rule: drop a row iff it equals the header line
+      AND it sits in the block-start split of its file. Line 1 of every
+      same-schema file is dropped (also covering tsv-append's
+      repeated-header rule); a data row identical to the header in any
+      LATER split always survives. Residual divergence: a header-equal
+      data row inside the FIRST split of a file (≤ one
+      maxPartitionBytes window) is still dropped — at scale a
+      vanishing fraction; pass ``exact_header=True`` when it matters.
+    - ``exact_header=True``: exact positional semantics — per file,
+      only the header-equal row with the minimum scan row-id inside the
+      block-start split is dropped (that row is physically line 1,
+      since rows of one split are emitted in file order within a single
+      partition). Costs a second pass over the input to collect the
+      per-file header row-ids (a tiny driver-side set, one per file),
+      so the default stays single-scan."""
     if fast:
         txt = spark.read.text(path)
+        block_start = F.expr("input_file_block_start()")
         hdr_line = None
         if header:
-            first = txt.limit(1).collect()
+            # restricting to block-start rows makes limit(1) return the
+            # physical first line of SOME file: a filter preserves
+            # partition-local order, and each partition's first
+            # surviving row is the first row of a bs==0 split
+            first = txt.where(block_start == 0).limit(1).collect()
             hdr_line = first[0]["value"] if first else None
         if schema is not None:
             fields = list(schema.fields)
@@ -48,14 +77,41 @@ def read_tsv(spark: SparkSession, path: str, header: bool = True,
         else:
             raise ValueError("read_tsv needs header=True or a schema")
         if hdr_line is not None:
-            txt = txt.where(F.col("value") != hdr_line)
+            is_cand = (block_start == 0) & (F.col("value") == hdr_line)
+            if exact_header:
+                # one header row-id per file: within a file's bs==0
+                # split all its rows live in one partition in file
+                # order, so min(monotonically_increasing_id) among
+                # header-equal rows is line 1. The id is a pure
+                # function of (partition index, row order), both
+                # deterministic for a fixed file listing + conf, so it
+                # is stable across this job and the main scan below.
+                mid = F.monotonically_increasing_id()
+                hdr_ids = (txt
+                           .select(F.expr("input_file_name()").alias("f"),
+                                   mid.alias("m"), "value",
+                                   block_start.alias("bs"))
+                           .where((F.col("bs") == 0)
+                                  & (F.col("value") == hdr_line))
+                           .groupBy("f").agg(F.min("m").alias("m"))
+                           .select("m").collect())
+                drop_ids = {r["m"] for r in hdr_ids}
+                txt = (txt.withColumn("__mid", mid)
+                          .where(~F.col("__mid").isin(*drop_ids)
+                                 if drop_ids else F.lit(True)))
+            else:
+                txt = txt.where(~is_cand)
         # keep the pattern a bare literal where possible: Spark's split
         # fast-paths simple patterns, and \Q..\E quoting forces the full
         # regex engine (measured 2.3x slower on a TAB split)
         meta = ".\\[]{}()*+?^$|"
         pattern = "".join(("\\" + c) if c in meta else c for c in delimiter)
         parts = F.split(F.col("value"), pattern, -1)
-        cols = [parts.getItem(i).try_cast(f.dataType).alias(f.name)
+        # F.get (not getItem): a short/empty line yields NULL for the
+        # missing trailing fields instead of an ANSI array-index error —
+        # an empty line is a one-empty-field record (utils.d line
+        # semantics), not a crash
+        cols = [F.get(parts, i).try_cast(f.dataType).alias(f.name)
                 for i, f in enumerate(fields)]
         return txt.select(*cols)
     r = (spark.read
