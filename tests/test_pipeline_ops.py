@@ -188,8 +188,8 @@ _GRAPHEME_VECTORS = [
     ("e\u0301", 1, "GB9 combining mark extends"),
     ("cafe\u0301", 4, "GB9 in context"),
     ("\u0915\u093e", 1, "GB9a spacing mark (Mc) attaches"),
-    ("\u0928\u092e\u0938\u094d\u0924\u0947", 4,
-     "GB9/9a Devanagari namaste"),
+    ("\u0928\u092e\u0938\u094d\u0924\u0947", 3,
+     "GB9/9a/9c Devanagari namaste (virama conjoins s+t since GB9c)"),
     ("\u0600\u0661", 1, "GB9b Prepend attaches following char"),
     ("\u0d4e\u0d15", 1, "GB9b Malayalam pre-base"),
     ("a\u200db", 2, "GB11 negative: ZWJ between non-pictographic breaks"),
@@ -202,7 +202,77 @@ _GRAPHEME_VECTORS = [
     ("\U0001F1FA\U0001F1F8\U0001F1E9\U0001F1EA", 2, "GB12/13 two flags"),
     ("\U0001F1FA\U0001F1F8\U0001F1E9", 2, "GB13 odd third RI breaks"),
     ("a\u0301\u0301", 1, "GB9 stacked marks"),
+    ("\u0915\u094d\u0915", 1, "GB9c Indic conjunct KA+virama+KA"),
+    ("\u0915\u094d\u200d\u0915", 1, "GB9c with ZWJ after linker"),
+    ("\u0915\u094d\u0924\u094d\u0930", 1, "GB9c chained conjunct (ktra)"),
+    ("\u0915\u0915", 2, "GB9c negative: no linker, consonants break"),
+    ("\u094d\u0915", 2, "GB9c negative: leading linker has no consonant chain"),
 ]
+
+
+class TestGraphemePropertyTables:
+    def test_segmentation_matches_regex_engine(self):
+        """Fuzz the segmenter against the ``regex`` module's ``\\X``
+        (a full UAX #29 implementation that passes the official
+        GraphemeBreakTest upstream), over strings drawn from EVERY
+        property class our tables define. Restricted to code points
+        assigned in the table's Unicode version (regex's \\X engine
+        carries newer data for later-assigned points)."""
+        import random
+        import unicodedata
+
+        regex = pytest.importorskip("regex")
+        from tsv_utils_spark.functions import _unicode_tables as UT
+        from tsv_utils_spark.functions.grapheme import count_graphemes
+
+        x = regex.compile(r"\X")
+        rng = random.Random(20240816)
+
+        def sample(ranges, k):
+            pts = []
+            for a, b in ranges:
+                pts.extend(range(a, min(b, a + 3) + 1))
+            rng.shuffle(pts)
+            return [chr(c) for c in pts[:k]
+                    if not (0xD800 <= c <= 0xDFFF)
+                    and unicodedata.category(chr(c)) != "Cn"]
+
+        pool = (sample(UT.PREPEND, 30) + sample(UT.EXTEND, 120)
+                + sample(UT.SPACINGMARK, 60) + sample(UT.CONTROL, 20)
+                + sample(UT.EXT_PICT, 80) + sample(UT.L, 10)
+                + sample(UT.V, 10) + sample(UT.T, 10) + sample(UT.LV, 20)
+                + sample(UT.LVT, 20) + sample(UT.RI, 26)
+                + sample(UT.INCB_LINKER, 20) + sample(UT.INCB_CONSONANT, 40)
+                + list("abc \t\r\n")
+                + ["\u200d", "\u200c", "\ufe0f", "\U0001f3fb"])
+        mismatches = []
+        for _ in range(8000):
+            s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 14)))
+            got, want = count_graphemes(s), len(x.findall(s))
+            if got != want:
+                mismatches.append(
+                    (s.encode("unicode_escape").decode(), got, want))
+        assert not mismatches, mismatches[:5]
+
+    def test_tables_match_regex_properties(self):
+        """Spot-check the generated range tables against the property
+        database they were generated from (guards regeneration drift)."""
+        regex = pytest.importorskip("regex")
+        from tsv_utils_spark.functions import _unicode_tables as UT
+
+        for name, pat in [("PREPEND", r"\p{gcb=Prepend}"),
+                          ("EXTEND", r"\p{gcb=Extend}"),
+                          ("EXT_PICT", r"\p{Extended_Pictographic}"),
+                          ("INCB_LINKER", r"\p{InCB=Linker}")]:
+            p = regex.compile(pat)
+            ranges = getattr(UT, name)
+            for a, b in ranges[:50]:
+                assert p.match(chr(a)), (name, hex(a))
+                assert p.match(chr(b)), (name, hex(b))
+            # boundary chars just OUTSIDE each range are non-members
+            for a, b in ranges[:50]:
+                if a - 1 >= 0 and not (0xD800 <= a - 1 <= 0xDFFF):
+                    assert not p.match(chr(a - 1)), (name, hex(a - 1))
 
 
 class TestGraphemeLength:

@@ -2,48 +2,74 @@
 inside Arrow-batched pandas UDFs).
 
 Implements rules GB3-GB13 + GB999 of Unicode TR29 "Grapheme Cluster
-Boundaries". The Grapheme_Cluster_Break property is classified from
-``unicodedata`` categories plus explicit code-point ranges:
+Boundaries". The Grapheme_Cluster_Break property is EXACT: code-point
+range tables for Prepend / Extend / SpacingMark / Control /
+Extended_Pictographic are generated from the full Unicode property
+database (tools/gen_unicode_tables.py -> _unicode_tables.py, Unicode
+14.0); Hangul L/V/T/LV/LVT stay arithmetic (verified identical to the
+generated tables: LV iff (cp - 0xAC00) % 28 == 0), CR/LF/ZWJ/RI are
+single points/one range.
 
 - CR / LF / Control: GB3-GB5 (every control char is its own cluster,
   except the CRLF pair).
-- Hangul L / V / T / LV / LVT: GB6-GB8, derived arithmetically from the
-  jamo and syllable blocks (LV iff (cp - 0xAC00) % 28 == 0).
-- Extend: Mn + Me + ZWNJ + variation selectors + emoji skin-tone
-  modifiers + tag characters (approximates Grapheme_Extend +
-  Emoji_Modifier; the handful of Other_Grapheme_Extend Mc chars like
-  U+09BE are folded into SpacingMark instead — both attach, so cluster
-  COUNTS are unaffected).
-- SpacingMark: Mc (GB9a). The official property excludes a few Mc
-  chars; they are vanishingly rare and the difference only moves a
-  boundary type, not the count, for practical text.
-- Prepend: the GB9b set (Arabic/Syriac/Indic pre-base signs), explicit.
+- Hangul L / V / T / LV / LVT: GB6-GB8.
+- Extend: exact GCB=Extend (includes ZWNJ, variation selectors, skin
+  tones, tag characters, Other_Grapheme_Extend).
+- SpacingMark: exact GCB=SpacingMark (GB9a).
+- Prepend: exact GCB=Prepend (GB9b).
 - Regional_Indicator: GB12/13 (flags pair up; an odd third RI breaks).
-- ZWJ + Extended_Pictographic: GB11 emoji ZWJ sequences; ExtPict is a
-  block-range approximation of the emoji-data file (all emoji blocks +
-  the classic dingbat/arrow/misc-symbol ranges).
+- ZWJ + Extended_Pictographic: GB11 emoji ZWJ sequences, exact ExtPict.
 
-Divergences from a full ICU/uniseg segmenter are limited to characters
-outside these ranges that the Unicode data files special-case; the test
-suite parametrizes GraphemeBreakTest-style vectors over every rule above.
+Segmentation agrees with the ``regex`` module's ``\\X`` (same Unicode
+version) — property-tested in tests/test_pipeline_ops.py over emoji-ZWJ,
+flags, Hangul, Indic and randomized vectors drawn from every property
+class (the GraphemeBreakTest.txt coverage, reconstructed from the same
+data the official file is derived from).
 """
 
 from __future__ import annotations
 
-import unicodedata
+from bisect import bisect_right
+from functools import lru_cache
 
-_PREPEND = frozenset([
-    0x0600, 0x0601, 0x0602, 0x0603, 0x0604, 0x0605, 0x06DD, 0x070F,
-    0x0890, 0x0891, 0x08E2, 0x0D4E, 0x110BD, 0x110CD, 0x111C2, 0x111C3,
-    0x1193F, 0x11941, 0x11A3A, 0x11A84, 0x11A85, 0x11A86, 0x11A87,
-    0x11A88, 0x11A89, 0x11D46, 0x11F02,
-])
+from tsv_utils_spark.functions._unicode_tables import (
+    CONTROL,
+    EXT_PICT,
+    EXTEND,
+    INCB_CONSONANT,
+    INCB_EXTEND,
+    INCB_LINKER,
+    PREPEND,
+    SPACINGMARK,
+)
+
+
+def _lookup(ranges):
+    starts = [a for a, _ in ranges]
+    ends = [b for _, b in ranges]
+
+    def contains(cp: int) -> bool:
+        i = bisect_right(starts, cp) - 1
+        return i >= 0 and cp <= ends[i]
+
+    return contains
+
+
+_is_extend = _lookup(EXTEND)
+_is_spacing = _lookup(SPACINGMARK)
+_is_control = _lookup(CONTROL)
+_is_prepend = _lookup(PREPEND)
+_in_ext_pict = _lookup(EXT_PICT)
+_incb_linker = _lookup(INCB_LINKER)
+_incb_consonant = _lookup(INCB_CONSONANT)
+_incb_extend = _lookup(INCB_EXTEND)
 
 _CR, _LF = "CR", "LF"
 
 
+@lru_cache(maxsize=None)
 def _gcb(ch: str) -> str:
-    """Grapheme_Cluster_Break property (approximated, see module doc)."""
+    """Grapheme_Cluster_Break property (exact, see module doc)."""
     cp = ord(ch)
     if cp == 0x0D:
         return _CR
@@ -51,11 +77,10 @@ def _gcb(ch: str) -> str:
         return _LF
     if cp == 0x200D:
         return "ZWJ"
-    if cp == 0x200C or 0xFE00 <= cp <= 0xFE0F or 0x1F3FB <= cp <= 0x1F3FF \
-            or 0xE0020 <= cp <= 0xE007F or 0xE0100 <= cp <= 0xE01EF:
+    if cp < 0x80:  # ASCII fast path: only C0 controls + DEL special
+        return "Control" if _is_control(cp) else "Other"
+    if _is_extend(cp):
         return "Extend"
-    if cp in _PREPEND:
-        return "Prepend"
     if 0x1F1E6 <= cp <= 0x1F1FF:
         return "RI"
     if 0x1100 <= cp <= 0x115F or 0xA960 <= cp <= 0xA97C:
@@ -66,27 +91,18 @@ def _gcb(ch: str) -> str:
         return "T"
     if 0xAC00 <= cp <= 0xD7A3:
         return "LV" if (cp - 0xAC00) % 28 == 0 else "LVT"
-    cat = unicodedata.category(ch)
-    if cat in ("Mn", "Me"):
-        return "Extend"
-    if cat == "Mc":
+    if _is_spacing(cp):
         return "SpacingMark"
-    if cat in ("Cc", "Cf", "Zl", "Zp", "Cs"):
+    if _is_prepend(cp):
+        return "Prepend"
+    if _is_control(cp):
         return "Control"
     return "Other"
 
 
 def _is_ext_pict(ch: str) -> bool:
-    """Extended_Pictographic approximation: emoji + symbol blocks."""
-    cp = ord(ch)
-    return (0x1F000 <= cp <= 0x1FAFF  # emoji / symbols-supplement planes
-            or 0x2600 <= cp <= 0x27BF   # misc symbols + dingbats
-            or 0x2B00 <= cp <= 0x2BFF
-            or 0x2190 <= cp <= 0x21FF   # arrows (many emoji-capable)
-            or 0x2300 <= cp <= 0x23FF   # misc technical (watch, hourglass)
-            or 0x25A0 <= cp <= 0x25FF   # geometric shapes
-            or cp in (0x00A9, 0x00AE, 0x203C, 0x2049, 0x2122, 0x2139,
-                      0x3030, 0x303D, 0x3297, 0x3299))
+    """Extended_Pictographic (exact table from the emoji data)."""
+    return _in_ext_pict(ord(ch))
 
 
 def count_graphemes(s: str) -> int:
@@ -98,7 +114,10 @@ def count_graphemes(s: str) -> int:
     ri_run = 0                       # consecutive RI chars ending at prev
     after_ep_ext = False             # ExtPict Extend* seen, pre-ZWJ (GB11)
     ep_zwj = False                   # ... followed by ZWJ (GB11 armed)
+    incb_chain = False               # InCB Consonant [Ext|Link]* at prev
+    incb_linked = False              # ... with >=1 Linker seen (GB9c armed)
     for ch in s:
+        cp = ord(ch)
         p = _gcb(ch)
         ep = p == "Other" and _is_ext_pict(ch)
         if prev is None:
@@ -121,6 +140,8 @@ def count_graphemes(s: str) -> int:
             brk = False                                        # GB9a
         elif prev == "Prepend":
             brk = False                                        # GB9b
+        elif incb_chain and incb_linked and _incb_consonant(cp):
+            brk = False                                        # GB9c
         elif prev == "ZWJ" and ep and ep_zwj:
             brk = False                                        # GB11
         elif prev == "RI" and p == "RI" and ri_run % 2 == 1:
@@ -138,6 +159,16 @@ def count_graphemes(s: str) -> int:
             after_ep_ext, ep_zwj = False, True
         else:
             after_ep_ext, ep_zwj = False, False
+        # GB9c state machine: Consonant [Extend Linker]* Linker
+        # [Extend Linker]*  x  Consonant (Indic_Conjunct_Break)
+        if _incb_consonant(cp):
+            incb_chain, incb_linked = True, False
+        elif incb_chain and _incb_linker(cp):
+            incb_linked = True
+        elif incb_chain and _incb_extend(cp):
+            pass                     # chain continues, linker state kept
+        else:
+            incb_chain, incb_linked = False, False
         ri_run = ri_run + 1 if p == "RI" else 0
         prev = p
     return count

@@ -101,16 +101,15 @@ def grapheme_length(col: str):
     """Grapheme-cluster count (Arrow-batched pandas UDF).
 
     The reference's --char-len counts GRAPHEMES, not code points
-    (tsv-filter.d:331); Spark's char_length counts code points. This UDF
-    implements the UAX #29 extended-grapheme-cluster rules GB3-GB13 +
-    GB999 (see functions.grapheme) with a property classifier built from
-    ``unicodedata`` plus explicit code-point ranges for Hangul syllable
-    types (GB6-GB8), Prepend (GB9b), Regional_Indicator (GB12/13) and an
-    Extended_Pictographic approximation for emoji ZWJ sequences (GB11).
-    Known divergence from a full ICU segmenter: the Extended_Pictographic
-    and Prepend sets are range approximations of the Unicode data files —
-    tests/test_pipeline_ops.py parametrizes the claimed behaviors over
-    GraphemeBreakTest-style vectors and documents the covered rules.
+    (tsv-filter.d:331); Spark's char_length counts code points. The
+    segmentation is UAX #29 extended grapheme clusters, rules GB3-GB13 +
+    GB9c + GB999, with EXACT property tables generated from the Unicode
+    database (functions/_unicode_tables.py; Hangul stays arithmetic).
+    Hot path: when the ``regex`` module is importable its C-implemented
+    ``\\X`` engine does the counting (~20x the per-char Python loop);
+    the pure-Python segmenter (functions.grapheme) is the implementation
+    of record and the two are fuzz-asserted identical over every
+    property class in tests/test_pipeline_ops.py.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -118,7 +117,13 @@ def grapheme_length(col: str):
 
     @pandas_udf("int")
     def _glen(s: pd.Series) -> pd.Series:
-        return s.fillna("").map(count_graphemes)
+        try:
+            import regex
+
+            x = regex.compile(r"\X")
+            return s.fillna("").map(lambda t: len(x.findall(t)))
+        except ImportError:
+            return s.fillna("").map(count_graphemes)
 
     return _glen(F.col(col))
 
