@@ -39,7 +39,11 @@ from tsv_utils_spark.operators import (  # noqa: E402
     uniq,
 )
 from tsv_utils_spark.operators.dedup import minhash_dedup, simhash_dedup
-from tsv_utils_spark.operators.join import bloom_anti_join, bloom_semi_join
+from tsv_utils_spark.operators.join import (
+    bloom_anti_join,
+    bloom_semi_join,
+    salted_join,
+)
 from tsv_utils_spark.operators.similarity import cosine_topk, lsh_cosine_topk
 from tsv_utils_spark.operators.text import analyze, fingerprint, lang_id, token_count
 from tsv_utils_spark.plans import SketchSpec, sketch_agg
@@ -482,6 +486,23 @@ def q_join_bloom_anti(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
     return bloom_anti_join(o, c, ["c_custkey"]).select("o_orderkey")
+
+
+@q("join_salted", """
+SELECT d.doc_id, d.lang, s.n_docs
+FROM documents d
+JOIN (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang) s
+  ON d.lang = s.lang
+""")
+def q_join_salted(spark, sf_dir):
+    # explicit skew-salted join over a GENUINELY hot key: documents.lang
+    # has a handful of distinct values, so every key would funnel into
+    # one reducer in a plain shuffle join. The oracle is the PLAIN join —
+    # its equality is the salted==plain gate (join.py:96-120)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return salted_join(d, stats, ["lang"], salt=8) \
+        .select("doc_id", "lang", "n_docs")
 
 
 # -------------------------------------------------------------- tsv-uniq

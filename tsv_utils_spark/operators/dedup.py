@@ -26,10 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tsv_utils_spark.sketches.minhash import (
-    band_keys,
-    signature_matrix,
-)
+from tsv_utils_spark.sketches.minhash import band_keys
 from tsv_utils_spark.sketches.simhash import simhash_batch
 
 
@@ -45,25 +42,48 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str,
 
 
 def _tokenize_expr(col: str):
-    # coalesce: NULL content tokenizes like empty content (the pandas
-    # paths fillna("") — keep the JVM verify path consistent)
+    # coalesce: NULL content tokenizes like empty content; this JVM
+    # expression IS the tokenization contract — signature generation and
+    # the exact-Jaccard verify both consume it, so they can never drift
     return F.split(F.trim(F.lower(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+
+
+def _shingle_expr(col: str, n: int):
+    """Word n-gram shingle strings, built entirely JVM-side (codegen):
+    one whole-doc shingle when the doc has fewer than ``n`` tokens."""
+    toks = _tokenize_expr(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
 
 
 def minhash_signatures(df: DataFrame, content_col: str, id_col: str,
                        k: int = 128, shingle_n: int = 3) -> DataFrame:
-    """(id, signature array<long>) via Arrow-batched NumPy MinHash."""
+    """(id, signature array<long>) MinHash signatures.
+
+    Tokenization + shingling run JVM-side (``_shingle_expr``, whole-stage
+    codegen); the Arrow batch only hashes the shingle strings and takes
+    the k per-permutation minima in NumPy — no per-row Python string
+    work remains."""
+    from tsv_utils_spark.sketches.hashing import hash64
+    from tsv_utils_spark.sketches.minhash import signature
+
+    sh = df.select(id_col, _shingle_expr(content_col, shingle_n).alias("__sh"))
+
     def gen(batches):
         for pdf in batches:
-            toks = [str(t).lower().split() for t in pdf[content_col].fillna("")]
-            sigs = signature_matrix(toks, k=k, n=shingle_n)
+            sigs = np.empty((len(pdf), k), dtype=np.uint64)
+            for i, grams in enumerate(pdf["__sh"]):
+                arr = np.asarray(grams, dtype=object)
+                sigs[i] = signature(hash64(arr) if arr.size
+                                    else np.empty(0, np.uint64), k=k)
             yield pd.DataFrame({
                 id_col: pdf[id_col],
                 "sig": list(sigs.astype(np.int64)),  # view as signed for Spark
             })
 
     schema = f"{_field_ddl(df, id_col)}, sig array<long>"
-    return df.select(id_col, content_col).mapInPandas(gen, schema=schema)
+    return sh.mapInPandas(gen, schema=schema)
 
 
 def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
@@ -118,11 +138,9 @@ def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
               .dropDuplicates(["id_a", "id_b"]))
 
     # exact verify: JVM-side n-gram Jaccard (array_intersect/array_union on
-    # shingle arrays) — zero Python after signature generation. Equivalent
-    # to the per-pair jaccard_exact() python loop it replaced: same
-    # tokenization (lower + whitespace split), same short-doc rule (one
-    # whole-doc shingle when tokens < n), and shingle-string set algebra
-    # equals shingle-hash set algebra.
+    # shingle arrays) — zero Python. Signatures and verify share ONE
+    # shingle definition (_shingle_expr), so the S-curve candidates and
+    # the exact check can never disagree on tokenization.
     verified = ngram_jaccard_pairs(df, content_col, id_col, pairs,
                                    shingle_n=shingle_n) \
         .where(F.col("jaccard") >= threshold)
@@ -135,14 +153,18 @@ def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
 
 
 def simhash_fingerprints(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """(id, simhash long) — 64-bit similarity fingerprints, Arrow batch."""
+    """(id, simhash long) — 64-bit similarity fingerprints.
+
+    Tokenization runs JVM-side (``_tokenize_expr``); the Arrow batch
+    only hashes token arrays and packs sign sums in NumPy."""
+    toked = df.select(id_col, _tokenize_expr(content_col).alias("__toks"))
+
     def gen(batches):
         for pdf in batches:
-            toks = [str(t).lower().split() for t in pdf[content_col].fillna("")]
-            fps = simhash_batch(toks).astype(np.int64)
+            fps = simhash_batch(pdf["__toks"]).astype(np.int64)
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps})
 
-    return df.select(id_col, content_col).mapInPandas(
+    return toked.mapInPandas(
         gen, schema=f"{_field_ddl(df, id_col)}, simhash long")
 
 
@@ -179,10 +201,7 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str, id_col: str,
                         pairs: DataFrame, shingle_n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for given (id_a, id_b) pairs — JVM-side set
     algebra on shingle arrays (no Python in the hot path)."""
-    toks = _tokenize_expr(content_col)
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " ")))
+    sh = F.array_distinct(_shingle_expr(content_col, shingle_n))
     docs = df.select(F.col(id_col), sh.alias("__sh"))
     j = (pairs
          .join(docs.withColumnRenamed(id_col, "id_a")

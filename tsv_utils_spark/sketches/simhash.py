@@ -17,8 +17,9 @@ _BITS = np.uint64(np.arange(64, dtype=np.uint64))  # bit index per column
 
 
 def simhash64(tokens: list[str], weights: np.ndarray | None = None) -> int:
-    """64-bit SimHash of a token list (optionally weighted)."""
-    if not tokens:
+    """64-bit SimHash of a token list (optionally weighted). Accepts any
+    sequence of strings (list or ndarray — Arrow hands back ndarrays)."""
+    if len(tokens) == 0:
         return 0
     h = hash64(np.asarray(tokens, dtype=object))
     # (n, 64) bit matrix -> +1/-1
