@@ -590,6 +590,50 @@ def q_sample_topk_det(spark, sf_dir):
         .limit(100).select("l_orderkey", "l_linenumber")
 
 
+@q("sample_weighted_det", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         pow(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT
+             / 4503599627370496.0, 1.0 / n_chars) AS s
+  FROM documents WHERE n_chars > 0
+) ORDER BY s DESC, doc_id LIMIT 200
+""")
+def q_sample_weighted_det(spark, sf_dir):
+    # weighted A-Res reservoir (--n --w, tsv-sample.d:1169-1174) through
+    # the sample() operator with a deterministic md5-derived uniform:
+    # u = first 52 md5 bits / 2^52 (exact in double, identical across
+    # engines); score = u^(1/w). pow() last-ulp differences between
+    # libm and java.lang.Math only matter for scores within ~1e-16 of
+    # the selection boundary — adjacent order statistics here are ~1e-4
+    # apart, 12 orders of margin.
+    from tsv_utils_spark.operators.sample import sample as tsv_sample
+
+    d = _t(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("double") / F.lit(2.0 ** 52))
+    out = tsv_sample(d, mode="reservoir", n=200, weight="n_chars", u_expr=u)
+    return out.select("doc_id", "lang")
+
+
+@q("gen_random_inorder_det", """
+SELECT doc_id,
+       ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT
+       / 4503599627370496.0 AS random_value
+FROM documents
+""")
+def q_gen_random_inorder_det(spark, sf_dir):
+    # --gen-random-inorder (:2161): append the per-row uniform, keep all
+    # rows. u = md5 bits / 2^52 is a power-of-two division of an exactly
+    # representable integer — bit-identical in Spark and DuckDB, so the
+    # FLOAT COLUMN ITSELF is hash-gated (no rounding needed).
+    from tsv_utils_spark.operators.sample import gen_random_inorder
+
+    d = _t(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("double") / F.lit(2.0 ** 52))
+    return gen_random_inorder(d, u_expr=u).select("doc_id", "random_value")
+
+
 @q("filter_empty_blank", """
 SELECT event_id, maybe_blank FROM (
   SELECT event_id,

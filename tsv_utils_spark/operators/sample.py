@@ -42,8 +42,15 @@ def sample(df: DataFrame,
            seed: int = 2438424139,  # the reference's --static-seed value (:449)
            compat: bool = False,
            print_random: bool = False,
-           inorder_col: str | None = None) -> DataFrame:
-    """One entry point mirroring tsvSample's mode dispatch (:535-567)."""
+           inorder_col: str | None = None,
+           u_expr=None) -> DataFrame:
+    """One entry point mirroring tsvSample's mode dispatch (:535-567).
+
+    ``u_expr`` (a Column of uniform(0,1) values) overrides ``F.rand(seed)``
+    as the per-row randomness source for the reservoir/shuffle modes —
+    deterministic twins derive it from md5 so a DuckDB oracle can replay
+    the exact sample (same precedent as ``draw_expr`` in
+    ``sample_with_replacement``)."""
     if mode == "bernoulli":
         if p is None:
             raise ValueError("bernoulli needs p")
@@ -67,12 +74,13 @@ def sample(df: DataFrame,
     if mode == "reservoir":
         if n is None:
             raise ValueError("reservoir needs n")
+        u = u_expr if u_expr is not None else F.rand(seed)
         if weight:
             # A-Res: score = u^(1/w); w <= 0 -> score 0 (:1169-1174)
             w = F.col(weight).try_cast("double")
-            score = F.when(w > 0, F.pow(F.rand(seed), 1.0 / w)).otherwise(F.lit(0.0))
+            score = F.when(w > 0, F.pow(u, 1.0 / w)).otherwise(F.lit(0.0))
         else:
-            score = F.rand(seed)
+            score = u
         scored = df.withColumn("random_value", score)
         out = scored.orderBy(F.col("random_value").desc()).limit(n)
         if not print_random:
@@ -80,11 +88,12 @@ def sample(df: DataFrame,
         return _maybe_inorder(out, inorder_col)
 
     if mode == "shuffle":
+        u = u_expr if u_expr is not None else F.rand(seed)
         if weight:
             w = F.col(weight).try_cast("double")
-            score = F.when(w > 0, F.pow(F.rand(seed), 1.0 / w)).otherwise(F.lit(0.0))
+            score = F.when(w > 0, F.pow(u, 1.0 / w)).otherwise(F.lit(0.0))
         else:
-            score = F.rand(seed)
+            score = u
         out = df.withColumn("random_value", score).orderBy(F.col("random_value").desc())
         if not print_random:
             out = out.drop("random_value")
@@ -153,13 +162,14 @@ def sample_with_replacement(df: DataFrame, n: int,
 
 
 def gen_random_inorder(df: DataFrame, weight: str | None = None,
-                       seed: int = 2438424139) -> DataFrame:
+                       seed: int = 2438424139, u_expr=None) -> DataFrame:
     """--gen-random-inorder (:2161): append the per-row score, keep all rows."""
+    u = u_expr if u_expr is not None else F.rand(seed)
     if weight:
         w = F.col(weight).try_cast("double")
-        score = F.when(w > 0, F.pow(F.rand(seed), 1.0 / w)).otherwise(F.lit(0.0))
+        score = F.when(w > 0, F.pow(u, 1.0 / w)).otherwise(F.lit(0.0))
     else:
-        score = F.rand(seed)
+        score = u
     return df.withColumn("random_value", score)
 
 
