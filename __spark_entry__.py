@@ -658,6 +658,89 @@ def q_filter_empty_blank(spark, sf_dir):
         .select("event_id", "maybe_blank")
 
 
+@q("filter_numeric_classes", """
+SELECT event_id, s,
+       TRY_CAST(s AS DOUBLE) IS NOT NULL AS is_num,
+       (TRY_CAST(s AS DOUBLE) IS NOT NULL
+        AND NOT isnan(TRY_CAST(s AS DOUBLE))
+        AND NOT isinf(TRY_CAST(s AS DOUBLE))) AS is_fin,
+       coalesce(isnan(TRY_CAST(s AS DOUBLE)), FALSE) AS is_nan,
+       coalesce(isinf(TRY_CAST(s AS DOUBLE)), FALSE) AS is_inf
+FROM (
+  SELECT event_id,
+         CASE WHEN value < 1.5 THEN 'NaN'
+              WHEN value < 3 THEN 'Infinity'
+              WHEN value < 4.5 THEN '-Infinity'
+              WHEN value < 6 THEN 'abc'
+              WHEN value < 7.5 THEN ''
+              ELSE round(value, 3)::VARCHAR END AS s
+  FROM events
+)
+""")
+def q_filter_numeric_classes(spark, sf_dir):
+    # is-numeric / is-finite / is-nan / is-infinity classification
+    # predicates (tsv-filter.d:297-300) over a string column mixing NaN,
+    # +/-Infinity, garbage, empty and real numerics (the literal set both
+    # engines parse identically)
+    e = _t(spark, sf_dir, "events")
+    derived = e.select(
+        "event_id",
+        F.when(F.col("value") < 1.5, F.lit("NaN"))
+         .when(F.col("value") < 3, F.lit("Infinity"))
+         .when(F.col("value") < 4.5, F.lit("-Infinity"))
+         .when(F.col("value") < 6, F.lit("abc"))
+         .when(F.col("value") < 7.5, F.lit(""))
+         .otherwise(F.round(F.col("value"), 3).cast("string")).alias("s"))
+    return derived.select(
+        "event_id", "s",
+        P.is_numeric("s").alias("is_num"),
+        P.is_finite("s").alias("is_fin"),
+        F.coalesce(P.is_nan("s"), F.lit(False)).alias("is_nan"),
+        F.coalesce(P.is_infinity("s"), F.lit(False)).alias("is_inf"))
+
+
+@q("format_number", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN d IS NULL THEN NULL
+            WHEN isnan(d) THEN 'nan'
+            WHEN d = 'infinity'::DOUBLE THEN 'inf'
+            WHEN d = '-infinity'::DOUBLE THEN '-inf'
+            WHEN d = floor(d) AND abs(d) < 1e15
+              THEN CAST(CAST(floor(d) AS BIGINT) AS VARCHAR)
+            ELSE printf('%.12g', d) END AS fp,
+       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS fq
+FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+             l_extendedprice / 7 AS d FROM lineitem)
+""")
+def q_format_number(spark, sf_dir):
+    # formatNumber output rules (common/numerics.d:44-143): 12 significant
+    # digits, integral values render with no decimal point, nan/inf pass
+    # through. DuckDB's C printf('%.12g') equals the Java %g + trailing-
+    # zero trim — verified on integral/fractional/exponent/nan/inf/
+    # 15-16-digit boundary cases.
+    from tsv_utils_spark.functions.numformat import format_number_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        format_number_expr(F.col("l_extendedprice") / 7).alias("fp"),
+        format_number_expr(F.col("l_quantity")).alias("fq"))
+
+
+@q("summarize_retain", """
+SELECT lang, min_by(source, doc_id) AS source, count(*) AS n_rows
+FROM documents GROUP BY lang
+""")
+def q_summarize_retain(spark, sf_dir):
+    # --retain (tsv-summarize.d:3919): carry the FIRST input-order value
+    # of a field through the aggregation, header keeps the field name
+    d = _t(spark, sf_dir, "documents")
+    out = summarize(d, ["lang"],
+                    [Op.retain("source"), Op.count(header="n_rows")],
+                    order_col="doc_id")
+    return out.select("lang", "source", "n_rows")
+
+
 @q("uniq_ignore_case", """
 SELECT DISTINCT lower(
   CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END) AS k
