@@ -96,9 +96,15 @@ def read_tsv(spark: SparkSession, path: str, header: bool = True,
                            .groupBy("f").agg(F.min("m").alias("m"))
                            .select("m").collect())
                 drop_ids = {r["m"] for r in hdr_ids}
-                txt = (txt.withColumn("__mid", mid)
-                          .where(~F.col("__mid").isin(*drop_ids)
-                                 if drop_ids else F.lit(True)))
+                txt = txt.withColumn("__mid", mid)
+                if len(drop_ids) > 1000:
+                    # millions of files would make an isin literal list
+                    # unwieldy — broadcast anti-join against the id set
+                    ids_df = spark.createDataFrame(
+                        [(int(i),) for i in drop_ids], "__mid long")
+                    txt = txt.join(F.broadcast(ids_df), "__mid", "left_anti")
+                elif drop_ids:
+                    txt = txt.where(~F.col("__mid").isin(*drop_ids))
             else:
                 txt = txt.where(~is_cand)
         # keep the pattern a bare literal where possible: Spark's split
