@@ -69,6 +69,39 @@ class TestPlanShape:
             # no Python evaluation in reference-parity exact paths
             assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
 
+    def test_salted_join_no_global_skew_point(self, spark):
+        """The salted join must shuffle on (key, salt) — never on the bare
+        key — so a hot key fans out across ``salt`` reducers; and the big
+        side must not be broadcast."""
+        p = plan_of(spark, "join_salted")
+        # the join condition itself carries the salt
+        join_line = next(ln for ln in p.splitlines() if "HashJoin" in ln)
+        assert "__salt" in join_line, join_line
+        # the BIG (doc_id-carrying) side never shuffles: its only plan
+        # nodes are scan/filter/project feeding the join. Any exchange in
+        # this plan belongs to the tiny per-key aggregate side.
+        for frag in p.split("Exchange hashpartitioning(")[1:]:
+            args = frag.split(")", 1)[0]
+            assert "doc_id" not in args, args
+
+    def test_format_number_stays_codegen(self, spark):
+        p = plan_of(spark, "format_number")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # pure projection over the scan: no shuffle at all
+        assert "Exchange" not in p
+
+    def test_numeric_classes_stays_codegen(self, spark):
+        p = plan_of(spark, "filter_numeric_classes")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "Exchange" not in p
+
+    def test_weighted_sample_is_takeordered(self, spark):
+        # the A-Res weighted reservoir must plan as per-partition top-k +
+        # driver merge, NOT a global sort
+        p = plan_of(spark, "sample_weighted_det")
+        assert "TakeOrderedAndProject" in p
+        assert "Exchange rangepartitioning" not in p
+
     def test_sketch_pipeline_shuffles_only_blobs(self, spark):
         from tsv_utils_spark.plans import SketchSpec, sketch_agg
 
