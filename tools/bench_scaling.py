@@ -174,7 +174,16 @@ def main() -> None:
     loc_eff = loc_big["rows_per_sec"] / (4 * loc_small["rows_per_sec"])
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+    # preserve everything after the end-of-section marker: this file also
+    # carries per-tool tables and run logs appended by other rounds
+    marker = "<!-- scaling:end -->"
+    tail = ""
+    path = "/root/repo/BENCH/BASELINE.md"
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            tail = old.split(marker, 1)[1]
+    with open(path, "w") as f:
         f.write(f"""# BENCH — scaling efficiency (N vs 4N executors)
 
 The north-rule scaling criterion, evidenced on a REAL multi-executor
@@ -213,6 +222,7 @@ reference's single-threaded 444k rows/s summary-statistics baseline
 (BASELINE.md) while computing mergeable sketches instead of plain
 moments.
 """)
+        f.write(marker + "\n" + tail)
     print(json.dumps({"n": small, "n4": big,
                       "scaling_efficiency": round(eff, 3),
                       "all_pair_effs": [round(e, 3) for e in effs],
