@@ -146,6 +146,43 @@ class TestSimilarity:
         assert len(e & a) / len(e) >= 0.4
 
 
+class TestCodecs:
+    def test_bmp_roundtrip_gray_and_rgb(self):
+        import numpy as np
+
+        from tsv_utils_spark.functions.codecs import bmp_decode, bmp_encode
+
+        rng = np.random.default_rng(7)
+        gray = rng.integers(0, 256, (21, 33), dtype=np.uint8)  # odd width
+        assert (bmp_decode(bmp_encode(gray)) == gray).all()
+        rgb = rng.integers(0, 256, (15, 17, 3), dtype=np.uint8)
+        assert (bmp_decode(bmp_encode(rgb)) == rgb).all()
+
+    def test_wav_roundtrip_and_rate(self):
+        import numpy as np
+
+        from tsv_utils_spark.functions.codecs import wav_decode, wav_encode
+
+        t = np.arange(1600)
+        pcm = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+        back, rate = wav_decode(wav_encode(pcm, rate=16000))
+        assert rate == 16000
+        assert (back == pcm).all()
+        stereo = np.stack([pcm, -pcm], axis=1)
+        back2, _ = wav_decode(wav_encode(stereo))
+        assert back2.shape == stereo.shape and (back2 == stereo).all()
+
+    def test_compressed_formats_env_gated(self):
+        import pytest as pt
+
+        from tsv_utils_spark.functions.codecs import decode_audio, decode_image
+
+        with pt.raises(NotImplementedError, match="PIL"):
+            decode_image(b"\x89PNG\r\n\x1a\n....", "image/png")
+        with pt.raises(NotImplementedError, match="soundfile"):
+            decode_audio(b"\xff\xfb....", "audio/mpeg")
+
+
 class TestMultimodal:
     def test_plumbing(self, spark):
         from tsv_utils_spark.operators.multimodal import (
@@ -160,14 +197,50 @@ class TestMultimodal:
         n_images = media.filter("kind = 'image'").count()
         assert len(feats) == n_images
         assert feats["px_sha"].str.len().eq(64).all()
+        # real decode: gradient images span most of the 0-255 range
+        assert (feats["std_px"] > 10).all()
+        # decoded dims equal the metadata the synthesizer recorded
+        meta = media.filter("kind = 'image'") \
+            .select("media_id", "width", "height").toPandas() \
+            .set_index("media_id")
+        j = feats.set_index("media_id").join(meta, rsuffix="_meta")
+        assert (j["width"] == j["width_meta"]).all()
+        assert (j["height"] == j["height_meta"]).all()
         # determinism: same payload -> same features
         feats2 = image_features(media).toPandas()
         assert feats.sort_values("media_id")["px_sha"].tolist() == \
             feats2.sort_values("media_id")["px_sha"].tolist()
         resized = resize_images(media).toPandas()
         assert len(resized) == n_images
+        # resized payloads are REAL BMPs of the requested size
+        from tsv_utils_spark.functions.codecs import bmp_decode
+        px = bmp_decode(bytes(resized.iloc[0]["payload"]))
+        assert px.shape == (32, 32)
         frames = frame_sample(media, every_ms=5000).toPandas()
         assert (frames.groupby("media_id").size() >= 1).all()
+
+    def test_audio_features_real_decode(self, spark):
+        import numpy as np
+
+        from tsv_utils_spark.operators.multimodal import (
+            audio_features,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, n=30)
+        af = audio_features(media).toPandas().set_index("media_id")
+        n_audio = media.filter("kind = 'audio'").count()
+        assert len(af) == n_audio
+        # the synthesized clips are ~8000-amplitude sines + small noise:
+        # RMS must be near 8000/sqrt(2) ~ 5657
+        assert ((af["rms"] > 4500) & (af["rms"] < 7000)).all()
+        # duration from the DECODED sample count matches the metadata
+        meta = media.filter("kind = 'audio'") \
+            .select("media_id", "duration_ms").toPandas() \
+            .set_index("media_id")
+        j = af.join(meta, rsuffix="_meta")
+        assert (j["duration_ms"] == j["duration_ms_meta"]).all()
+        assert (af["zcr"] > 0).all() and (af["peak"] <= 32767).all()
 
 
 # GraphemeBreakTest-style vectors: (text, expected cluster count, rule).

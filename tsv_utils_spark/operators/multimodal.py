@@ -1,11 +1,14 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata.
 
-The decode kernels are STUBBED (the container ships no PIL/ffmpeg —
-clearly marked below); everything Spark-side is real and tested: schemas,
-Arrow batch shapes, partition-size control for fat binary rows, and the
-mapInPandas operator signatures a production pipeline would keep while
-swapping the kernel body.
+Decode kernels are REAL for the formats a stdlib+NumPy environment can
+parse — BMP images and RIFF/PCM WAV audio (functions/codecs.py) — and
+environment-gated behind a clearly-marked NotImplementedError for
+compressed formats (JPEG/MP4 need PIL/ffmpeg, absent in this container;
+the production one-liner is documented at the raise site). Everything
+Spark-side is format-agnostic and real: schemas, Arrow batch shapes,
+partition-size control for fat binary rows, and the mapInPandas operator
+signatures a production pipeline keeps while swapping codec bodies.
 
 Pattern: binary payloads ride in their own column; metadata stays in flat
 typed columns so Catalyst can prune/push down without touching bytes.
@@ -14,13 +17,19 @@ typed columns so Catalyst can prune/push down without touching bytes.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from tsv_utils_spark.functions.codecs import (
+    bmp_encode,
+    decode_audio,
+    decode_image,
+    wav_encode,
+)
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -34,42 +43,44 @@ MEDIA_SCHEMA = T.StructType([
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests: payload bytes are seeded
-    zlib-compressed noise, metadata consistent with kind."""
+    """Deterministic media table: REAL BMP images (seeded gradient+noise
+    pixels) and REAL 16 kHz WAV audio (seeded sine+noise), plus video
+    rows whose payload stays opaque (no codec in this container)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = zlib.compress(rng.integers(0, 256, 512, dtype=np.uint8)
-                                .tobytes())
-        rows.append((i, kind, f"x-fake/{kind}", payload,
-                     int(rng.integers(16, 256)) if kind != "audio" else None,
-                     int(rng.integers(16, 256)) if kind != "audio" else None,
-                     int(rng.integers(1000, 60000)) if kind != "image" else None))
+        if kind == "image":
+            w, h = int(rng.integers(16, 96)), int(rng.integers(16, 96))
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = ((xx * 255 // max(w - 1, 1)
+                   + rng.integers(0, 32, (h, w))) % 256).astype(np.uint8)
+            rows.append((i, kind, "image/bmp", bmp_encode(px), w, h, None))
+        elif kind == "audio":
+            ms = int(rng.integers(200, 1500))
+            t = np.arange(int(16000 * ms / 1000))
+            freq = float(rng.integers(100, 1000))
+            wave_f = (8000 * np.sin(2 * np.pi * freq * t / 16000)
+                      + rng.normal(0, 200, t.size))
+            pcm = np.clip(wave_f, -32768, 32767).astype(np.int16)
+            rows.append((i, kind, "audio/wav", wav_encode(pcm), None, None,
+                         ms))
+        else:
+            payload = rng.integers(0, 256, 512, dtype=np.uint8).tobytes()
+            rows.append((i, kind, "video/x-raw", payload,
+                         int(rng.integers(16, 256)),
+                         int(rng.integers(16, 256)),
+                         int(rng.integers(1000, 60000))))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB — deterministic fake decode (no PIL in this container).
-
-    Production body:  ``np.asarray(PIL.Image.open(io.BytesIO(payload)))``.
-    The fake expands payload bytes deterministically to (h, w) uint8 —
-    same payload => same pixels, so downstream tests are stable.
-    """
-    raw = zlib.decompress(payload)
-    h = np.frombuffer(
-        hashlib.sha256(raw).digest() * ((width * height) // 32 + 1),
-        dtype=np.uint8)[: width * height]
-    return h.reshape(height, width)
-
-
-def image_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
+def image_features(df: DataFrame) -> DataFrame:
     """Per-image feature extraction over mapInPandas.
 
-    Output: (media_id, mean_px double, std_px double, px_sha string).
-    The decode call is the stub above; the batch shape, schema, and
-    partition handling are exactly what a real decoder uses.
+    Output: (media_id, width, height, mean_px double, std_px double,
+    px_sha string) — real BMP decode; unsupported formats raise the
+    documented NotImplementedError (fail loudly, never fabricate pixels).
     """
     def gen(batches):
         for pdf in batches:
@@ -77,59 +88,91 @@ def image_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
             # zip-over-ndarrays (iterrows would box every row into a
             # Series — the slowest iteration pandas offers)
             sub = pdf[(pdf["kind"] == "image") & pdf["payload"].notna()]
-            ids, means, stds, shas = [], [], [], []
-            for mid, payload, w, h in zip(sub["media_id"].to_numpy(),
+            ids, ws, hs, means, stds, shas = [], [], [], [], [], []
+            for mid, payload, mime in zip(sub["media_id"].to_numpy(),
                                           sub["payload"].to_numpy(),
-                                          sub["width"].to_numpy(),
-                                          sub["height"].to_numpy()):
-                px = _decode_image_stub(bytes(payload), int(w), int(h))
+                                          sub["mime"].to_numpy()):
+                px = decode_image(bytes(payload), mime)
                 ids.append(mid)
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
                 means.append(float(px.mean()))
                 stds.append(float(px.std()))
                 shas.append(hashlib.sha256(px.tobytes()).hexdigest())
             yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "width": pd.Series(ws, dtype="int32"),
+                                "height": pd.Series(hs, dtype="int32"),
                                 "mean_px": means, "std_px": stds,
                                 "px_sha": shas})
 
     # fat binary rows: keep Arrow batches small so a batch of payloads
     # stays << executor memory (spark.sql.execution.arrow.maxRecordsPerBatch
     # governs this globally; we also repartition by size at call sites)
-    return df.select("media_id", "kind", "payload", "width", "height") \
-             .mapInPandas(gen, schema="media_id long, mean_px double, "
-                                      "std_px double, px_sha string")
+    return df.select("media_id", "kind", "mime", "payload") \
+             .mapInPandas(gen, schema="media_id long, width int, height int, "
+                                      "mean_px double, std_px double, "
+                                      "px_sha string")
 
 
 def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
-    """Resize via nearest-neighbor on the stub-decoded pixels; emits new
-    payload bytes. Shows the binary-in/binary-out operator shape."""
+    """Nearest-neighbor resize on real decoded pixels; emits REAL BMP
+    payloads (binary-in/binary-out operator shape)."""
     def gen(batches):
         for pdf in batches:
             sub = pdf[(pdf["kind"] == "image") & pdf["payload"].notna()]
-            out = {"media_id": [], "payload": []}
-            for mid, payload, w, h in zip(sub["media_id"].to_numpy(),
+            ids, payloads = [], []
+            for mid, payload, mime in zip(sub["media_id"].to_numpy(),
                                           sub["payload"].to_numpy(),
-                                          sub["width"].to_numpy(),
-                                          sub["height"].to_numpy()):
-                px = _decode_image_stub(bytes(payload), int(w), int(h))
+                                          sub["mime"].to_numpy()):
+                px = decode_image(bytes(payload), mime)
                 yi = (np.linspace(0, px.shape[0] - 1, out_h)).astype(int)
                 xi = (np.linspace(0, px.shape[1] - 1, out_w)).astype(int)
-                small = px[np.ix_(yi, xi)]
-                out["media_id"].append(mid)
-                out["payload"].append(zlib.compress(small.tobytes()))
-            yield pd.DataFrame({"media_id": pd.Series(out["media_id"],
-                                                      dtype="int64"),
-                                "payload": out["payload"]})
+                ids.append(mid)
+                payloads.append(bmp_encode(px[np.ix_(yi, xi)]))
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
 
-    return df.select("media_id", "kind", "payload", "width", "height") \
+    return df.select("media_id", "kind", "mime", "payload") \
              .mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip audio features over mapInPandas: duration, RMS, peak,
+    zero-crossing rate — real WAV decode."""
+    def gen(batches):
+        for pdf in batches:
+            sub = pdf[(pdf["kind"] == "audio") & pdf["payload"].notna()]
+            ids, durs, rmss, peaks, zcrs = [], [], [], [], []
+            for mid, payload, mime in zip(sub["media_id"].to_numpy(),
+                                          sub["payload"].to_numpy(),
+                                          sub["mime"].to_numpy()):
+                samples, rate = decode_audio(bytes(payload), mime)
+                mono = samples if samples.ndim == 1 else samples.mean(axis=1)
+                x = mono.astype(np.float64)
+                ids.append(mid)
+                durs.append(int(round(1000 * x.size / rate)))
+                rmss.append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
+                peaks.append(int(np.abs(samples).max()) if x.size else 0)
+                zcrs.append(float(np.mean(np.signbit(x[1:])
+                                          != np.signbit(x[:-1])))
+                            if x.size > 1 else 0.0)
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "duration_ms": pd.Series(durs, dtype="int64"),
+                                "rms": rmss,
+                                "peak": pd.Series(peaks, dtype="int32"),
+                                "zcr": zcrs})
+
+    return df.select("media_id", "kind", "mime", "payload") \
+             .mapInPandas(gen, schema="media_id long, duration_ms long, "
+                                      "rms double, peak int, zcr double")
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one output row per sampled timestamp.
 
-    Decode is stubbed (NotImplemented marker in payload position would be a
-    real frame); timestamps/fan-out logic is real: explode on a JVM-side
-    sequence — no Python until the decode kernel itself.
+    Frame DECODE stays environment-gated (no codec in this container);
+    timestamps/fan-out logic is real: explode on a JVM-side sequence —
+    no Python until the decode kernel itself.
     """
     vids = df.where(F.col("kind") == "video")
     ts = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
