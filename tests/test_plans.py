@@ -102,6 +102,46 @@ class TestPlanShape:
         assert "TakeOrderedAndProject" in p
         assert "Exchange rangepartitioning" not in p
 
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        """Same-bucketed tables join with ZERO shuffle on either side —
+        the write-once-join-forever pre-partitioning path for repeated
+        big-big joins (sources/buckets.py)."""
+        from tsv_utils_spark.sources.buckets import (
+            bucketed_join,
+            write_bucketed,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet") \
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        cust = spark.read.parquet(f"{SF}/customer.parquet") \
+            .select("c_custkey", "c_mktsegment") \
+            .withColumnRenamed("c_custkey", "o_custkey")
+        try:
+            write_bucketed(orders, "orders_b", ["o_custkey"], 8,
+                           path=str(tmp_path / "ob"))
+            write_bucketed(cust, "cust_b", ["o_custkey"], 8,
+                           path=str(tmp_path / "cb"))
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = bucketed_join(spark, "orders_b", "cust_b", ["o_custkey"])
+            p = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p, p
+            # (Spark still inserts per-task Sorts unless each bucket is a
+            # single file whose ordering it trusts — cheap, task-local,
+            # and nothing like the shuffle this layout eliminates)
+            # correctness: equals the plain join
+            plain = orders.join(cust, "o_custkey")
+            assert j.count() == plain.count()
+            # bucket-local aggregation: groupBy on the bucket key also
+            # needs no shuffle
+            agg = spark.read.table("orders_b").groupBy("o_custkey").count()
+            pa = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in pa, pa
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS orders_b")
+            spark.sql("DROP TABLE IF EXISTS cust_b")
+
     def test_sketch_pipeline_shuffles_only_blobs(self, spark):
         from tsv_utils_spark.plans import SketchSpec, sketch_agg
 
