@@ -741,6 +741,39 @@ def q_summarize_retain(spark, sf_dir):
     return out.select("lang", "source", "n_rows")
 
 
+@q("ngram_jaccard_pairs", r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+2], ' ')
+                      for i in range(1, len(t) - 1)] END) AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+""")
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    # exact 3-gram Jaccard — minhash_dedup's verification pass — on
+    # adjacent-doc pairs, replayed in DuckDB with list comprehension
+    # shingling (same tokenize/short-doc rules as _shingle_expr); the
+    # jaccard double is an exact small-int division on both engines
+    from tsv_utils_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b")) \
+             .join(d.select(F.col("doc_id").alias("id_b")), "id_b",
+                   "left_semi")
+    return ngram_jaccard_pairs(d, "text", "doc_id", pairs, shingle_n=3)
+
+
 @q("uniq_ignore_case", """
 SELECT DISTINCT lower(
   CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END) AS k
