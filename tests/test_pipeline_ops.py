@@ -172,13 +172,75 @@ class TestCodecs:
         back2, _ = wav_decode(wav_encode(stereo))
         assert back2.shape == stereo.shape and (back2 == stereo).all()
 
+    def test_png_roundtrip(self):
+        import numpy as np
+
+        from tsv_utils_spark.functions.codecs import png_decode, png_encode
+
+        rng = np.random.default_rng(11)
+        for shape in [(9, 13), (7, 5, 3), (6, 4, 4)]:
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert (png_decode(png_encode(px)) == px).all()
+
+    def test_png_all_five_filters(self):
+        """Decode scanlines filtered with every type (0-4) by building the
+        filtered stream by hand per RFC 2083 and checking the decoder
+        reconstructs the original pixels."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from tsv_utils_spark.functions.codecs import (
+            _png_chunk,
+            _PNG_SIG,
+            png_decode,
+        )
+
+        rng = np.random.default_rng(3)
+        h, w, ch = 5, 12, 3
+        px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        flat = px.reshape(h, w * ch).astype(np.int32)
+        stride = w * ch
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y, f in enumerate([0, 1, 2, 3, 4]):
+            row = flat[y]
+            enc = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                up = prev[x]
+                ul = prev[x - ch] if x >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = left
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) \
+                        else (up if pb <= pc else ul)
+                enc[x] = (row[x] - pred) & 0xFF
+            raw.append(f)
+            raw.extend(enc.astype(np.uint8).tobytes())
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                   + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                   + _png_chunk(b"IEND", b""))
+        assert (png_decode(payload) == px).all()
+
     def test_compressed_formats_env_gated(self):
         import pytest as pt
 
         from tsv_utils_spark.functions.codecs import decode_audio, decode_image
 
         with pt.raises(NotImplementedError, match="PIL"):
-            decode_image(b"\x89PNG\r\n\x1a\n....", "image/png")
+            decode_image(b"\xff\xd8\xff\xe0....", "image/jpeg")
         with pt.raises(NotImplementedError, match="soundfile"):
             decode_audio(b"\xff\xfb....", "audio/mpeg")
 

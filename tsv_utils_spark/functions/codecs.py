@@ -6,10 +6,14 @@ layouts decodable with NumPy alone, so those decode kernels are REAL:
 
 - BMP (Windows DIB, BITMAPINFOHEADER): 8-bit grayscale (palette) and
   24-bit BGR, bottom-up rows, 4-byte row padding. Encoder + decoder.
+- PNG (RFC 2083): 8-bit grayscale / RGB / RGBA, all five scanline
+  filters (None/Sub/Up/Average/Paeth) — IDAT is just zlib, which the
+  stdlib ships, so even this COMPRESSED format decodes without PIL.
+  Encoder (filter 0) + decoder.
 - WAV (RIFF PCM): 16-bit mono/stereo via the stdlib ``wave`` module.
   Encoder + decoder.
 
-JPEG/PNG/MP4 remain environment-gated: ``decode_image`` raises
+JPEG/MP4 remain environment-gated: ``decode_image`` raises
 NotImplementedError for them with the production one-liner documented,
 exactly as the multimodal brief requires.
 """
@@ -19,6 +23,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -79,6 +84,96 @@ def bmp_decode(payload: bytes) -> np.ndarray:
     raise ValueError(f"unsupported BMP bit depth {bpp}")
 
 
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body)))
+
+
+def png_encode(px: np.ndarray) -> bytes:
+    """Encode (h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA uint8 as PNG
+    (8-bit, filter 0 scanlines)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = px.reshape(h, w * ch)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), flat], axis=1).tobytes()
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode 8-bit gray/RGB/RGBA PNG -> uint8 array. All five scanline
+    filters handled; interlacing/palette/16-bit are out of scope (raise)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4: pos + 8]
+        body = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, "
+                    f"color={color}, interlace={interlace})")
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    filters, data = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = data[y].copy()
+        f = filters[y]
+        if f == 0:
+            pass
+        elif f == 2:                                   # Up
+            row = (row + prev) & 0xFF
+        elif f in (1, 3, 4):                           # Sub/Average/Paeth
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                up = prev[x]
+                if f == 1:
+                    row[x] = (row[x] + left) & 0xFF
+                elif f == 3:
+                    row[x] = (row[x] + ((left + up) >> 1)) & 0xFF
+                else:
+                    ul = prev[x - ch] if x >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) \
+                        else (up if pb <= pc else ul)
+                    row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = row
+        prev = row
+    px = out.astype(np.uint8)
+    return px.reshape(h, w) if ch == 1 else px.reshape(h, w, ch)
+
+
 # ---------------------------------------------------------------- WAV
 
 def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -116,6 +211,8 @@ def decode_image(payload: bytes, mime: str | None) -> np.ndarray:
     formats are environment-gated (no PIL in this container)."""
     if payload[:2] == b"BM":
         return bmp_decode(payload)
+    if payload[:8] == _PNG_SIG:
+        return png_decode(payload)
     raise NotImplementedError(
         f"no decoder for {mime or 'unknown'} in this environment — "
         f"production body: np.asarray(PIL.Image.open(io.BytesIO(payload)))")

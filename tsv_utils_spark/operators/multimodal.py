@@ -2,7 +2,7 @@
 typed metadata.
 
 Decode kernels are REAL for the formats a stdlib+NumPy environment can
-parse — BMP images and RIFF/PCM WAV audio (functions/codecs.py) — and
+parse — BMP and PNG images, RIFF/PCM WAV audio (functions/codecs.py) — and
 environment-gated behind a clearly-marked NotImplementedError for
 compressed formats (JPEG/MP4 need PIL/ffmpeg, absent in this container;
 the production one-liner is documented at the raise site). Everything
@@ -28,6 +28,7 @@ from tsv_utils_spark.functions.codecs import (
     bmp_encode,
     decode_audio,
     decode_image,
+    png_encode,
     wav_encode,
 )
 
@@ -43,9 +44,10 @@ MEDIA_SCHEMA = T.StructType([
 
 
 def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media table: REAL BMP images (seeded gradient+noise
-    pixels) and REAL 16 kHz WAV audio (seeded sine+noise), plus video
-    rows whose payload stays opaque (no codec in this container)."""
+    """Deterministic media table: REAL BMP/PNG images (seeded
+    gradient+noise pixels, alternating codec) and REAL 16 kHz WAV audio
+    (seeded sine+noise), plus video rows whose payload stays opaque (no
+    codec in this container)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -56,7 +58,12 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             yy, xx = np.mgrid[0:h, 0:w]
             px = ((xx * 255 // max(w - 1, 1)
                    + rng.integers(0, 32, (h, w))) % 256).astype(np.uint8)
-            rows.append((i, kind, "image/bmp", bmp_encode(px), w, h, None))
+            if (i // 3) % 2 == 0:
+                rows.append((i, kind, "image/bmp", bmp_encode(px), w, h,
+                             None))
+            else:
+                rows.append((i, kind, "image/png", png_encode(px), w, h,
+                             None))
         elif kind == "audio":
             ms = int(rng.integers(200, 1500))
             t = np.arange(int(16000 * ms / 1000))
