@@ -41,6 +41,20 @@ NOTES = {
     "uniq_wholeline":
         "whole-line dedup with auto input-order: the scan carries "
         "_metadata (file, row_index) — order costs no shuffle",
+    "join_salted":
+        "skew-salted join: the join condition carries (key, __salt) so a "
+        "hot key fans out across salt reducers; the big side never "
+        "shuffles (tiny stats side aggregates + broadcasts)",
+    "sample_weighted_det":
+        "weighted A-Res reservoir: u^(1/w) score still compiles to "
+        "TakeOrderedAndProject — no global sort, no Python",
+    "format_number":
+        "formatNumber output rules as a pure codegen projection: zero "
+        "exchanges, zero Python",
+    "ngram_jaccard_pairs":
+        "exact n-gram Jaccard verify: shingles built by JVM "
+        "split/slice/array_join, set algebra by array_intersect/union — "
+        "no Python anywhere",
 }
 
 
