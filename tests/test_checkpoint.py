@@ -105,6 +105,29 @@ class TestCheckpoint:
             .toPandas().set_index("l_returnflag").sort_index()
         assert (out["uc"] == direct["uc"]).all()
 
+    def test_resume_rejects_changed_job_signature(self, multi_file_lineitem,
+                                                  tmp_path):
+        """Resuming a checkpoint with different specs / grouping /
+        transform would deserialize old partial blobs under new sketch
+        definitions and merge garbage — it must fail loudly."""
+        li = multi_file_lineitem
+        ckpt = str(tmp_path / "ckpt_sig")
+        with pytest.raises(RuntimeError, match="resume"):
+            sketch_agg_checkpointed(li, ["l_returnflag"], SPECS[:1], ckpt,
+                                    epochs=3, _run_epochs=[0])
+        # different sketch list
+        with pytest.raises(ValueError, match="signature"):
+            sketch_agg_checkpointed(li, ["l_returnflag"], SPECS, ckpt,
+                                    epochs=3)
+        # different grouping
+        with pytest.raises(ValueError, match="signature"):
+            sketch_agg_checkpointed(li, ["l_linestatus"], SPECS[:1], ckpt,
+                                    epochs=3)
+        # the ORIGINAL job resumes fine
+        out = sketch_agg_checkpointed(li, ["l_returnflag"], SPECS[:1], ckpt,
+                                      epochs=3)
+        assert out.count() == 3
+
     def test_transform_requires_bare_scan(self, multi_file_lineitem,
                                           tmp_path):
         li = multi_file_lineitem.filter("l_quantity > 25")

@@ -81,6 +81,8 @@ def epoch_file_groups(checkpoint_dir: str) -> list[list[str]] | None:
         return None
     with open(path) as f:
         man = json.load(f)
+    if not man["files"]:
+        return None  # hash-sliced checkpoint (manifest holds signature only)
     return [man["files"][e::man["epochs"]] for e in range(man["epochs"])]
 
 
@@ -132,6 +134,19 @@ def sketch_agg_checkpointed(df: DataFrame,
     files = sorted(df.inputFiles())
     use_files = (bool(files) and bare
                  and all(f.endswith(".parquet") for f in files))
+    # the JOB SIGNATURE commits what the partials MEAN: resuming with
+    # different specs/grouping would deserialize old blobs under new
+    # sketch definitions and merge garbage silently; a different
+    # transform would mix differently-filtered epochs. Both must fail
+    # loudly instead.
+    signature = {
+        "group_by": group_by,
+        "specs": [[s.op, s.col, s.out, json.dumps(s.params, sort_keys=True,
+                                                  default=str)]
+                  for s in specs],
+        "transform": getattr(transform, "__qualname__", None)
+        if transform is not None else None,
+    }
     if os.path.exists(manifest_path):
         # resume MUST slice exactly as the original run did, even if files
         # were added/compacted since — the manifest is the commit
@@ -141,10 +156,20 @@ def sketch_agg_checkpointed(df: DataFrame,
             raise ValueError(
                 f"checkpoint at {checkpoint_dir} was started with "
                 f"epochs={man['epochs']}, not {epochs}")
+        committed = man.get("signature")
+        if committed is not None and committed != signature:
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir} was started with a "
+                f"different job signature {committed} — resuming with "
+                f"{signature} would merge incompatible partials. Use a "
+                f"fresh checkpoint_dir for a changed job.")
         files, use_files = man["files"], bool(man["files"])
-    elif use_files:
+    else:
         with open(manifest_path, "w") as f:
-            json.dump({"files": files, "epochs": epochs}, f)
+            # hash-sliced checkpoints commit files=[] — the signature
+            # guard applies to them all the same
+            json.dump({"files": files if use_files else [],
+                       "epochs": epochs, "signature": signature}, f)
 
     if use_files:
         groups = [files[e::epochs] for e in range(epochs)]
