@@ -142,6 +142,23 @@ class TestPlanShape:
             spark.sql("DROP TABLE IF EXISTS orders_b")
             spark.sql("DROP TABLE IF EXISTS cust_b")
 
+    def test_partitioned_write_prunes_directories(self, spark, tmp_path):
+        """partitionBy layout: a predicate on the partition key becomes a
+        PartitionFilter — non-matching directories are never read."""
+        from tsv_utils_spark.sources.buckets import write_partitioned
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet") \
+            .select("doc_id", "lang", "n_chars")
+        out = str(tmp_path / "docs_by_lang")
+        write_partitioned(docs, out, ["lang"])
+        scan = spark.read.parquet(out).where("lang = 'en'")
+        p = scan._jdf.queryExecution().executedPlan().toString()
+        pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "lang" in pf and "en" in pf, p
+        # and the data filter list does NOT re-check lang (pruned, not
+        # filtered)
+        assert scan.count() == docs.where("lang = 'en'").count()
+
     def test_sketch_pipeline_shuffles_only_blobs(self, spark):
         from tsv_utils_spark.plans import SketchSpec, sketch_agg
 

@@ -52,6 +52,20 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.read.table(table)
 
 
+def write_partitioned(df: DataFrame, path: str, keys: list[str],
+                      mode: str = "overwrite") -> None:
+    """Hive-style directory partitioning (``partitionBy``): the scan
+    prunes whole directories for predicates on ``keys`` (shows up as
+    ``PartitionFilters`` in the plan — zero IO for non-matching
+    partitions). Use for LOW-cardinality filter columns (lang, date,
+    source); use bucketing for HIGH-cardinality join keys. The Iceberg
+    equivalents are identity/day/hour partition transforms.
+    """
+    if not keys:
+        raise ValueError("write_partitioned needs at least one key")
+    df.write.mode(mode).partitionBy(*keys).parquet(path)
+
+
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
                   keys: list[str], how: str = "inner") -> DataFrame:
     """Join two same-bucketed tables. With matching bucket specs the plan
