@@ -136,6 +136,37 @@ class TestCheckpoint:
                                     str(tmp_path / "ckpt_bad"), epochs=2,
                                     transform=lambda d: d)
 
+    def test_resume_rejects_derived_df_on_file_sliced_checkpoint(
+            self, multi_file_lineitem, tmp_path):
+        """Resuming a FILE-SLICED checkpoint with a filtered df and no
+        transform would re-read raw files and drop the filter silently —
+        the resume path must apply the same bare-scan guard as run 1."""
+        li = multi_file_lineitem
+        ckpt = str(tmp_path / "ckpt_resume_derived")
+        with pytest.raises(RuntimeError, match="resume"):
+            sketch_agg_checkpointed(li, ["l_returnflag"], SPECS[:1], ckpt,
+                                    epochs=3, _run_epochs=[0])
+        with pytest.raises(ValueError, match="bare file scan"):
+            sketch_agg_checkpointed(li.filter("l_quantity > 25"),
+                                    ["l_returnflag"], SPECS[:1], ckpt,
+                                    epochs=3)
+
+    def test_signature_catches_changed_lambda_body(self, multi_file_lineitem,
+                                                   tmp_path):
+        li = multi_file_lineitem
+        ckpt = str(tmp_path / "ckpt_lambda")
+        with pytest.raises(RuntimeError, match="resume"):
+            sketch_agg_checkpointed(li, ["l_returnflag"], SPECS[:1], ckpt,
+                                    epochs=2, _run_epochs=[0],
+                                    transform=lambda d: d.filter(
+                                        "l_quantity > 25"))
+        # same qualname ('<lambda>'), different body -> must be rejected
+        with pytest.raises(ValueError, match="signature"):
+            sketch_agg_checkpointed(li, ["l_returnflag"], SPECS[:1], ckpt,
+                                    epochs=2,
+                                    transform=lambda d: d.filter(
+                                        "l_quantity > 30"))
+
     def test_measured_bytes_single_scan(self, multi_file_lineitem, spark,
                                         tmp_path):
         """TASK-METRIC check of no-read-amplification: actual input bytes

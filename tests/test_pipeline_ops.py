@@ -302,7 +302,32 @@ class TestMultimodal:
             .set_index("media_id")
         j = af.join(meta, rsuffix="_meta")
         assert (j["duration_ms"] == j["duration_ms_meta"]).all()
-        assert (af["zcr"] > 0).all() and (af["peak"] <= 32767).all()
+        assert (af["zcr"] > 0).all() and (af["peak"] <= 32768).all()
+
+    def test_audio_peak_handles_int16_min(self):
+        # np.abs(int16 -32768) wraps; the operator must widen first
+        import numpy as np
+
+        from tsv_utils_spark.functions.codecs import wav_decode, wav_encode
+
+        pcm = np.array([-32768, 100, -5], dtype=np.int16)
+        back, _ = wav_decode(wav_encode(pcm))
+        assert int(np.abs(back.astype(np.int32)).max()) == 32768
+
+    def test_resize_rgba_emits_png(self, spark):
+        import numpy as np
+
+        from tsv_utils_spark.functions.codecs import png_decode, png_encode
+        from tsv_utils_spark.operators.multimodal import resize_images
+
+        rng = np.random.default_rng(5)
+        rgba = rng.integers(0, 256, (40, 40, 4), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, "image", "image/png", bytearray(png_encode(rgba)))],
+            "media_id long, kind string, mime string, payload binary")
+        out = resize_images(df, out_w=8, out_h=8).toPandas()
+        px = png_decode(bytes(out.iloc[0]["payload"]))
+        assert px.shape == (8, 8, 4)
 
 
 # GraphemeBreakTest-style vectors: (text, expected cluster count, rule).
@@ -342,6 +367,10 @@ _GRAPHEME_VECTORS = [
     ("\u0915\u094d\u0924\u094d\u0930", 1, "GB9c chained conjunct (ktra)"),
     ("\u0915\u0915", 2, "GB9c negative: no linker, consonants break"),
     ("\u094d\u0915", 2, "GB9c negative: leading linker has no consonant chain"),
+    ("\U00016D63\U00016D67", 1,
+     "GB9 non-Hangul table class (Kirat Rai letter + vowel sign)"),
+    ("\ud800\u0301", 2,
+     "GB4 lone surrogate is Control: breaks before combining mark"),
 ]
 
 
@@ -350,11 +379,10 @@ class TestGraphemePropertyTables:
         """Fuzz the segmenter against the ``regex`` module's ``\\X``
         (a full UAX #29 implementation that passes the official
         GraphemeBreakTest upstream), over strings drawn from EVERY
-        property class our tables define. Restricted to code points
-        assigned in the table's Unicode version (regex's \\X engine
-        carries newer data for later-assigned points)."""
+        property class our tables define — including code points newer
+        than the stdlib's Unicode version, since classification is fully
+        table-driven (no Cn filter needed)."""
         import random
-        import unicodedata
 
         regex = pytest.importorskip("regex")
         from tsv_utils_spark.functions import _unicode_tables as UT
@@ -369,8 +397,7 @@ class TestGraphemePropertyTables:
                 pts.extend(range(a, min(b, a + 3) + 1))
             rng.shuffle(pts)
             return [chr(c) for c in pts[:k]
-                    if not (0xD800 <= c <= 0xDFFF)
-                    and unicodedata.category(chr(c)) != "Cn"]
+                    if not (0xD800 <= c <= 0xDFFF)]
 
         pool = (sample(UT.PREPEND, 30) + sample(UT.EXTEND, 120)
                 + sample(UT.SPACINGMARK, 60) + sample(UT.CONTROL, 20)

@@ -77,6 +77,25 @@ class TestTsvIO:
         rows_fast = sorted(tuple(r) for r in back_fast.collect())
         assert rows_fast == [("1", "2"), ("3", "4"), ("5", "6")]
 
+    def test_exact_header_skips_only_true_first_lines(self, spark,
+                                                      tmp_path):
+        # a file whose line 1 is NOT the header (headerless stray) but
+        # which contains a header-equal DATA row must keep that data row
+        # — line 1 is identified positionally, then content-checked
+        d = tmp_path / "hdr_stray"
+        d.mkdir()
+        # a.tsv is the LARGEST file so split packing orders it first and
+        # its line 1 establishes hdr_line (the documented "line 1 of some
+        # input file" contract)
+        (d / "a.tsv").write_text("k\tv\n1\t2\n3\t4\n5\t6\n7\t8\n")
+        (d / "b.tsv").write_text("9\t9\nk\tv\n")  # headerless stray file
+        back = read_tsv(spark, str(d), exact_header=True)
+        rows = sorted(tuple(r) for r in back.collect())
+        # b's line 1 ("9\t9") is not the header -> kept; b's header-equal
+        # DATA row ("k\tv") is not line 1 -> kept; only a's line 1 dropped
+        assert rows == [("1", "2"), ("3", "4"), ("5", "6"), ("7", "8"),
+                        ("9", "9"), ("k", "v")]
+
     def test_csv_reader_path_keeps_header_equal_data_row(self, spark,
                                                          tmp_path):
         d = tmp_path / "hdr_csv"

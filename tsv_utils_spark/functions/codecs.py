@@ -37,6 +37,10 @@ def bmp_encode(px: np.ndarray) -> bytes:
     """Encode (h, w) uint8 grayscale or (h, w, 3) uint8 RGB as BMP."""
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError(
+            f"bmp_encode supports (h, w) gray or (h, w, 3) RGB, got shape "
+            f"{px.shape} — use png_encode for RGBA")
     h, w = px.shape[:2]
     bpp = 8 if gray else 24
     row_bytes = (w * bpp // 8 + 3) & ~3          # rows pad to 4 bytes

@@ -2,13 +2,13 @@
 inside Arrow-batched pandas UDFs).
 
 Implements rules GB3-GB13 + GB999 of Unicode TR29 "Grapheme Cluster
-Boundaries". The Grapheme_Cluster_Break property is EXACT: code-point
-range tables for Prepend / Extend / SpacingMark / Control /
-Extended_Pictographic are generated from the full Unicode property
-database (tools/gen_unicode_tables.py -> _unicode_tables.py, Unicode
-14.0); Hangul L/V/T/LV/LVT stay arithmetic (verified identical to the
-generated tables: LV iff (cp - 0xAC00) % 28 == 0), CR/LF/ZWJ/RI are
-single points/one range.
+Boundaries". The Grapheme_Cluster_Break property is EXACT and fully
+TABLE-DRIVEN: every class (Prepend / Extend / SpacingMark / Control /
+L / V / T / LV / LVT / RI / Extended_Pictographic / InCB) comes from
+range tables generated out of the ``regex`` module's Unicode property
+database (tools/gen_unicode_tables.py -> _unicode_tables.py); only
+CR/LF/ZWJ are literal code points. Surrogates classify as Control
+(Cs -> GCB=Control per UAX #29).
 
 - CR / LF / Control: GB3-GB5 (every control char is its own cluster,
   except the CRLF pair).
@@ -39,8 +39,14 @@ from tsv_utils_spark.functions._unicode_tables import (
     INCB_CONSONANT,
     INCB_EXTEND,
     INCB_LINKER,
+    L,
+    LV,
+    LVT,
     PREPEND,
+    RI,
     SPACINGMARK,
+    T,
+    V,
 )
 
 
@@ -63,6 +69,8 @@ _in_ext_pict = _lookup(EXT_PICT)
 _incb_linker = _lookup(INCB_LINKER)
 _incb_consonant = _lookup(INCB_CONSONANT)
 _incb_extend = _lookup(INCB_EXTEND)
+_is_l, _is_v, _is_t = _lookup(L), _lookup(V), _lookup(T)
+_is_lv, _is_lvt, _is_ri = _lookup(LV), _lookup(LVT), _lookup(RI)
 
 _CR, _LF = "CR", "LF"
 
@@ -79,18 +87,24 @@ def _gcb(ch: str) -> str:
         return "ZWJ"
     if cp < 0x80:  # ASCII fast path: only C0 controls + DEL special
         return "Control" if _is_control(cp) else "Other"
+    # every class below comes from the GENERATED tables — hard-coded
+    # block ranges would silently miss code points the property database
+    # assigns outside them (e.g. the Kirat Rai GCB=V vowel signs live
+    # nowhere near the Hangul jamo blocks)
     if _is_extend(cp):
         return "Extend"
-    if 0x1F1E6 <= cp <= 0x1F1FF:
+    if _is_ri(cp):
         return "RI"
-    if 0x1100 <= cp <= 0x115F or 0xA960 <= cp <= 0xA97C:
+    if _is_l(cp):
         return "L"
-    if 0x1160 <= cp <= 0x11A7 or 0xD7B0 <= cp <= 0xD7C6:
+    if _is_v(cp):
         return "V"
-    if 0x11A8 <= cp <= 0x11FF or 0xD7CB <= cp <= 0xD7FB:
+    if _is_t(cp):
         return "T"
-    if 0xAC00 <= cp <= 0xD7A3:
-        return "LV" if (cp - 0xAC00) % 28 == 0 else "LVT"
+    if _is_lv(cp):
+        return "LV"
+    if _is_lvt(cp):
+        return "LVT"
     if _is_spacing(cp):
         return "SpacingMark"
     if _is_prepend(cp):

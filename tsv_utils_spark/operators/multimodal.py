@@ -134,8 +134,15 @@ def resize_images(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
                 px = decode_image(bytes(payload), mime)
                 yi = (np.linspace(0, px.shape[0] - 1, out_h)).astype(int)
                 xi = (np.linspace(0, px.shape[1] - 1, out_w)).astype(int)
+                small = px[np.ix_(yi, xi)]
                 ids.append(mid)
-                payloads.append(bmp_encode(px[np.ix_(yi, xi)]))
+                # BMP carries gray/RGB; alpha needs PNG (BMP has no
+                # 32-bit form in our encoder — dropping alpha silently
+                # would corrupt data)
+                if small.ndim == 3 and small.shape[2] == 4:
+                    payloads.append(png_encode(small))
+                else:
+                    payloads.append(bmp_encode(small))
             yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
                                 "payload": payloads})
 
@@ -159,7 +166,9 @@ def audio_features(df: DataFrame) -> DataFrame:
                 ids.append(mid)
                 durs.append(int(round(1000 * x.size / rate)))
                 rmss.append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
-                peaks.append(int(np.abs(samples).max()) if x.size else 0)
+                # widen before abs: np.abs(int16 -32768) wraps to -32768
+                peaks.append(int(np.abs(samples.astype(np.int32)).max())
+                             if x.size else 0)
                 zcrs.append(float(np.mean(np.signbit(x[1:])
                                           != np.signbit(x[:-1])))
                             if x.size > 1 else 0.0)

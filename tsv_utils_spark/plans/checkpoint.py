@@ -67,6 +67,30 @@ def _is_bare_scan(df: DataFrame) -> bool:
         return False
 
 
+def _transform_fingerprint(transform) -> list | None:
+    """Best-effort identity of the epoch transform: qualname PLUS a hash
+    of the code object's bytecode and constants, so editing a lambda's
+    BODY (same name) changes the fingerprint. Callables without __code__
+    (functools.partial, C callables) fall back to their own distinct
+    type-tagged form — never None, which is reserved for 'no transform'."""
+    if transform is None:
+        return None
+    import hashlib
+
+    name = getattr(transform, "__qualname__", type(transform).__name__)
+    code = getattr(transform, "__code__", None)
+    if code is None and hasattr(transform, "func"):  # functools.partial
+        code = getattr(transform.func, "__code__", None)
+        name = f"partial({getattr(transform.func, '__qualname__', '?')})" \
+               + repr((transform.args,
+                       sorted(transform.keywords.items())
+                       if transform.keywords else []))
+    body = hashlib.sha256(
+        code.co_code + repr(code.co_consts).encode()).hexdigest()[:16] \
+        if code is not None else None
+    return [name, body]
+
+
 def _lineage_partial_schema(df, group_by, n_specs) -> T.StructType:
     base = _partial_schema(df, group_by, n_specs)
     return T.StructType(
@@ -144,8 +168,7 @@ def sketch_agg_checkpointed(df: DataFrame,
         "specs": [[s.op, s.col, s.out, json.dumps(s.params, sort_keys=True,
                                                   default=str)]
                   for s in specs],
-        "transform": getattr(transform, "__qualname__", None)
-        if transform is not None else None,
+        "transform": _transform_fingerprint(transform),
     }
     if os.path.exists(manifest_path):
         # resume MUST slice exactly as the original run did, even if files
@@ -164,6 +187,14 @@ def sketch_agg_checkpointed(df: DataFrame,
                 f"{signature} would merge incompatible partials. Use a "
                 f"fresh checkpoint_dir for a changed job.")
         files, use_files = man["files"], bool(man["files"])
+        if use_files and not bare and transform is None:
+            # resuming a FILE-SLICED checkpoint with a derived df would
+            # re-read raw files and silently drop the df's lineage — the
+            # same hazard the first-run guard prevents
+            raise ValueError(
+                "resuming a file-sliced checkpoint requires df to be the "
+                "bare file scan (pass lineage via transform=; it must "
+                "match the original run)")
     else:
         with open(manifest_path, "w") as f:
             # hash-sliced checkpoints commit files=[] — the signature

@@ -79,21 +79,27 @@ def read_tsv(spark: SparkSession, path: str, header: bool = True,
         if hdr_line is not None:
             is_cand = (block_start == 0) & (F.col("value") == hdr_line)
             if exact_header:
-                # one header row-id per file: within a file's bs==0
-                # split all its rows live in one partition in file
-                # order, so min(monotonically_increasing_id) among
-                # header-equal rows is line 1. The id is a pure
-                # function of (partition index, row order), both
-                # deterministic for a fixed file listing + conf, so it
-                # is stable across this job and the main scan below.
+                # one row-id per file: within a file's bs==0 split all
+                # its rows live in one partition in file order, so
+                # min(monotonically_increasing_id) over ALL of the
+                # file's bs==0 rows is PHYSICALLY line 1 (min over
+                # header-equal rows only would mis-target a file whose
+                # first line differs from hdr_line but which contains a
+                # header-equal data row). Drop that line-1 row iff its
+                # content equals the header. The id is a pure function
+                # of (partition index, row order), both deterministic
+                # for a fixed file listing + conf, so it is stable
+                # across this job and the main scan below.
                 mid = F.monotonically_increasing_id()
                 hdr_ids = (txt
                            .select(F.expr("input_file_name()").alias("f"),
                                    mid.alias("m"), "value",
                                    block_start.alias("bs"))
-                           .where((F.col("bs") == 0)
-                                  & (F.col("value") == hdr_line))
-                           .groupBy("f").agg(F.min("m").alias("m"))
+                           .where(F.col("bs") == 0)
+                           .groupBy("f")
+                           .agg(F.min("m").alias("m"),
+                                F.min_by("value", "m").alias("first_line"))
+                           .where(F.col("first_line") == hdr_line)
                            .select("m").collect())
                 drop_ids = {r["m"] for r in hdr_ids}
                 txt = txt.withColumn("__mid", mid)
