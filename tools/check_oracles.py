@@ -20,6 +20,13 @@ from tsv_utils_spark.session import get_spark  # noqa: E402
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# expected DuckDB arrow type per Spark dtype (pandas-normalized widths
+# like int32-vs-int64 are tolerated by the driver, but decimal128 vs int
+# is not — list only the exact expectations we enforce)
+_ARROW_OF_SPARK = {"bigint": "int64", "int": "int32", "double": "double",
+                   "string": "string", "boolean": "bool", "float": "float",
+                   "date": "date32[day]"}
+
 
 def normalize(rows, cols):
     """Sort columns by name, stringify values, sort rows."""
@@ -72,9 +79,10 @@ def main():
             print(f"ok   {name}: rows-only ({len(spark_rows)} rows)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            duck_cols = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
+            tbl = con.execute(oracles[name]).arrow()
+            duck_cols = tbl.schema.names
+            duck_types = {f.name: str(f.type) for f in tbl.schema}
+            duck_rows = [tuple(r.values()) for r in tbl.to_pylist()]
         except Exception as e:
             failures.append((name, f"DUCK ERROR: {e}"))
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")
@@ -82,6 +90,15 @@ def main():
         problems = []
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"schema {sorted(spark_cols)} vs {sorted(duck_cols)}")
+        # the DRIVER's value hash is Arrow-TYPE-sensitive (the round-2
+        # red board was DuckDB HUGEINT vs Spark int64 with equal values)
+        # — so this local gate fails on type drift too, not just values
+        for c, dt in df.dtypes:
+            want = _ARROW_OF_SPARK.get(dt, dt)
+            got = duck_types.get(c)
+            if got is not None and got != want:
+                problems.append(f"arrow type of {c}: spark {dt}->{want} "
+                                f"vs duckdb {got}")
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount {len(spark_rows)} vs {len(duck_rows)}")
         if not problems:
