@@ -136,3 +136,71 @@ class TestSummarizeVsPandas:
         want = pdf[(pdf["v"].astype(int) >= 0) & (pdf["t"].str.len() <= 5)]
         assert len(got) == len(want)
         assert sorted(got["v"].astype(int)) == sorted(want["v"].astype(int))
+
+
+class TestCodecProperties:
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.sampled_from([None, 3, 4]), st.integers(0, 2**32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_image_roundtrip_any_shape(self, h, w, ch, seed):
+        from tsv_utils_spark.functions.codecs import (
+            bmp_decode,
+            bmp_encode,
+            png_decode,
+            png_encode,
+        )
+
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch is None else (h, w, ch)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (png_decode(png_encode(px)) == px).all()
+        if ch != 4:  # BMP carries gray/RGB only
+            assert (bmp_decode(bmp_encode(px)) == px).all()
+
+    @given(st.integers(1, 5000), st.sampled_from([1, 2]),
+           st.sampled_from([8000, 16000, 44100]),
+           st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_wav_roundtrip_any_length(self, n, ch, rate, seed):
+        from tsv_utils_spark.functions.codecs import wav_decode, wav_encode
+
+        rng = np.random.default_rng(seed)
+        shape = (n,) if ch == 1 else (n, 2)
+        pcm = rng.integers(-32768, 32768, shape).astype(np.int16)
+        back, r = wav_decode(wav_encode(pcm, rate=rate))
+        assert r == rate and back.shape == pcm.shape and (back == pcm).all()
+
+
+class TestTsvRoundtripProperties:
+    # TSV-safe cell: no TAB/CR/LF (the format reserves them) and no NUL
+    # (write_tsv's quote-less mode repurposes U+0000 as the never-
+    # matching quote char — documented limitation); anything else —
+    # quotes, backslashes, unicode, leading/trailing whitespace — must
+    # survive write_tsv -> read_tsv byte-identically
+    _cell = st.text(
+        alphabet=st.characters(blacklist_characters="\t\r\n\x00",
+                               blacklist_categories=("Cs",)),
+        min_size=0, max_size=12)
+
+    @given(st.lists(st.tuples(_cell, _cell), min_size=1, max_size=25),
+           st.integers(0, 3))
+    @settings(max_examples=25, deadline=None)
+    def test_write_read_identity(self, spark, tmp_path_factory, rows, salt):
+        from tsv_utils_spark.sources.tsv import read_tsv, write_tsv
+
+        # cells that equal the header line's fields would exercise the
+        # documented header-collision rule, not the format — avoid the
+        # exact header pair, keep everything else
+        rows = [r for r in rows if r != ("a", "b")]
+        if not rows:
+            rows = [("x", "y")]
+        # Spark CSV writer emits NULL for empty string unless emptyValue
+        # is set (write_tsv sets it) — empty cells are the point here
+        pdf = pd.DataFrame(rows, columns=["a", "b"])
+        df = spark.createDataFrame(pdf)
+        out = str(tmp_path_factory.mktemp("tsvprop") / f"t{salt}")
+        write_tsv(df, out)
+        back = read_tsv(spark, out, exact_header=True)
+        got = sorted((r[0] or "", r[1] or "") for r in back.collect())
+        want = sorted((a, b) for a, b in rows)
+        assert got == want

@@ -163,10 +163,21 @@ def csv_to_tsv_df(spark: SparkSession, path: str, header: bool = True,
 
 def write_tsv(df: DataFrame, path: str, header: bool = True,
               delimiter: str = "\t", single_file: bool = False) -> None:
+    """TAB-separated, no quoting, header on, cell whitespace preserved.
+
+    Limitation: ``quote=""`` makes the CSV writer use \\u0000 as its
+    (never-matching) quote char, so a literal NUL byte inside a cell is
+    not round-trippable — everything else, including quotes and
+    backslashes, is written verbatim (property-tested)."""
     out = df.coalesce(1) if single_file else df
     (out.write.mode("overwrite")
         .option("sep", delimiter)
         .option("header", header)
         .option("quote", "")
         .option("emptyValue", "")
+        # the CSV WRITER defaults these to true and silently trims cell
+        # whitespace — tsv-utils preserves it (found by the round-trip
+        # property test with a single-space cell)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(path))
