@@ -77,6 +77,28 @@ class TestTsvIO:
         rows_fast = sorted(tuple(r) for r in back_fast.collect())
         assert rows_fast == [("1", "2"), ("3", "4"), ("5", "6")]
 
+    def test_default_mode_keeps_header_equal_row_in_later_split(
+            self, spark, tmp_path):
+        """The 100TB shape: a file spanning MANY splits. The default
+        (single-scan) rule only content-matches inside block-start
+        splits, so a header-equal DATA row in any later split survives
+        without the exact_header second pass."""
+        d = tmp_path / "hdr_big"
+        d.mkdir()
+        lines = ["k\tv"] + [f"{i}\t{i}" for i in range(20000)]
+        lines.insert(15000, "k\tv")  # header-equal data row, late in file
+        (d / "big.tsv").write_text("\n".join(lines) + "\n")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024))
+        try:
+            back = read_tsv(spark, str(d))
+            n_parts = back.rdd.getNumPartitions()
+            assert n_parts > 2, f"file must span several splits, got {n_parts}"
+            rows = back.collect()
+            assert len(rows) == 20001  # all data incl. the late 'k\tv'
+            assert sum(1 for r in rows if tuple(r) == ("k", "v")) == 1
+        finally:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
     def test_exact_header_skips_only_true_first_lines(self, spark,
                                                       tmp_path):
         # a file whose line 1 is NOT the header (headerless stray) but
