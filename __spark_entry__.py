@@ -1291,6 +1291,64 @@ def q_text_profile(spark, sf_dir):
     return analyze(d, "text", "doc_id")
 
 
+@q("text_gopher_quality", r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS c,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS words,
+         regexp_split_to_array(coalesce(text, ''), '\n') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, c, words, lines,
+    CASE WHEN length(trim(c)) = 0 THEN 0 ELSE len(words) END AS n_words,
+    CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS sum_wl,
+    length(regexp_replace(c, '[^#]', '', 'g')) AS n_hash,
+    length(regexp_replace(c, '[^…]', '', 'g'))
+      + (length(c) - length(replace(c, '...', ''))) / 3 AS n_ell,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+    len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+        ['the','be','to','of','and','that','have','with'])) AS n_stops,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '^[•‣▪*-]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS n_ellend,
+    len(lines) AS n_lines_raw,
+    len(list_distinct(lines)) AS n_uniq_lines,
+    CAST(list_sum(list_transform(lines, l -> length(l))) AS BIGINT) AS line_chars,
+    CAST(list_sum(list_transform(list_distinct(lines), l -> length(l)))
+         AS BIGINT) AS uniq_chars
+  FROM base
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+  CAST(sum_wl AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+  (n_hash + n_ell) / greatest(n_words, 1) AS symbol_ratio,
+  CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) AS alpha_frac,
+  CAST(n_stops AS INTEGER) AS n_stopwords,
+  CAST(n_bullet AS DOUBLE) / greatest(n_lines_raw, 1) AS bullet_frac,
+  CAST(n_ellend AS DOUBLE) / greatest(n_lines_raw, 1) AS ellipsis_end_frac,
+  1.0 - CAST(n_uniq_lines AS DOUBLE) / greatest(n_lines_raw, 1)
+    AS dup_line_frac,
+  CAST(line_chars - uniq_chars AS DOUBLE) / greatest(line_chars, 1)
+    AS dup_char_frac,
+  (n_words BETWEEN 50 AND 100000
+   AND CAST(sum_wl AS DOUBLE) / greatest(n_words, 1) BETWEEN 3.0 AND 10.0
+   AND (n_hash + n_ell) / greatest(n_words, 1) <= 0.1
+   AND CAST(n_bullet AS DOUBLE) / greatest(n_lines_raw, 1) <= 0.9
+   AND CAST(n_ellend AS DOUBLE) / greatest(n_lines_raw, 1) <= 0.3
+   AND CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8
+   AND n_stops >= 2
+   AND 1.0 - CAST(n_uniq_lines AS DOUBLE) / greatest(n_lines_raw, 1) <= 0.3
+   AND CAST(line_chars - uniq_chars AS DOUBLE)
+       / greatest(line_chars, 1) <= 0.2
+  ) AS gopher_pass
+FROM m
+""")
+def q_text_gopher_quality(spark, sf_dir):
+    # the published Gopher quality rules (Rae et al. 2021 App. A1.1) as
+    # one Catalyst projection; every metric replayed in DuckDB list
+    # comprehensions — fractions are identical int/int IEEE divisions
+    from tsv_utils_spark.operators.text import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
 @q("grapheme_length", """
 SELECT doc_id, length(text) AS n_graphemes FROM documents
 """)

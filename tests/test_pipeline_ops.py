@@ -330,6 +330,38 @@ class TestMultimodal:
         assert px.shape == (8, 8, 4)
 
 
+class TestGopherQuality:
+    def test_rules_on_crafted_docs(self, spark):
+        from tsv_utils_spark.operators.text import gopher_quality
+
+        good = ("the data pipeline should keep documents that have "
+                "normal prose with reasonable words and that read like "
+                "human text written with care and intent every day "
+                * 4)
+        docs = [
+            (0, good),                                   # passes all rules
+            (1, "too short to have enough words the and"),   # word count
+            (2, "#" * 40 + " " + good),                  # symbol ratio
+            (3, "\n".join(["• item the be to of and that have"] * 60)),
+            (4, "\n".join(["the be to of and that have with line"] * 50)),
+            (5, ("0 1 2 3 4 5 6 7 8 9 " * 10) + "the and have"),  # alpha
+            (6, None),                                   # NULL text
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+        assert out[0]["gopher_pass"] is True
+        assert out[1]["gopher_pass"] is False     # < 50 words
+        assert out[2]["symbol_ratio"] > 0.1
+        assert out[2]["gopher_pass"] is False
+        assert out[3]["bullet_frac"] > 0.9        # every line bulleted
+        assert out[3]["gopher_pass"] is False
+        assert out[4]["dup_line_frac"] > 0.3      # 50 copies of one line
+        assert out[4]["gopher_pass"] is False
+        assert out[5]["alpha_frac"] < 0.8
+        assert out[5]["gopher_pass"] is False
+        assert out[6]["n_words"] == 0 and out[6]["gopher_pass"] is False
+
+
 # GraphemeBreakTest-style vectors: (text, expected cluster count, rule).
 # One entry per UAX #29 rule the segmenter implements (GB3-GB13, GB999).
 _GRAPHEME_VECTORS = [

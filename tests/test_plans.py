@@ -95,6 +95,15 @@ class TestPlanShape:
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "Exchange" not in p
 
+    def test_gopher_quality_single_pass_no_python(self, spark):
+        p = plan_of(spark, "text_gopher_quality")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "Exchange" not in p
+        # one scan reading exactly (doc_id, text)
+        schema = p.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+        assert "doc_id" in schema and "text" in schema
+        assert "n_chars" not in schema
+
     def test_weighted_sample_is_takeordered(self, spark):
         # the A-Res weighted reservoir must plan as per-partition top-k +
         # driver merge, NOT a global sort

@@ -128,6 +128,87 @@ def grapheme_length(col: str):
     return _glen(F.col(col))
 
 
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1) plus its repetition rules'
+    line-level pair — the standard cheap pre-filter of LLM data
+    pipelines, here as ONE pure-Catalyst projection (zero Python,
+    single pass):
+
+    - 50 <= word_count <= 100,000
+    - 3 <= mean_word_length <= 10
+    - symbol-to-word ratio ('#' and ellipsis) <= 0.1
+    - <= 90% of lines start with a bullet; <= 30% end with ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 distinct stop words of {the,be,to,of,and,that,have,with}
+    - duplicate-line fraction <= 0.30; duplicate-line character
+      fraction <= 0.20
+
+    Returns (id, metrics..., gopher_pass). Fraction columns are raw
+    int/int IEEE divisions (bit-identical across engines — the oracle
+    replays them in DuckDB list comprehensions).
+    """
+    c = F.coalesce(F.col(col), F.lit(""))
+    t = F.trim(c)
+    words = F.split(t, r"\s+")
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_word_len = F.aggregate(
+        F.transform(words, F.length),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    mean_wl = sum_word_len.cast("double") / nw
+    n_hash = F.length(F.regexp_replace(c, "[^#]", ""))
+    n_ell = (F.length(F.regexp_replace(c, "[^…]", ""))
+             + (F.length(c) - F.length(F.replace(c, F.lit("..."),
+                                                 F.lit("")))) / F.lit(3))
+    symbol_ratio = (n_hash + n_ell).cast("double") / nw
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = alpha_words.cast("double") / nw
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    n_stops = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)), stops))
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[•‣▪*-]"))).cast("double") \
+        / n_lines
+    ell_end_frac = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))).cast("double") \
+        / n_lines
+    dup_line_frac = (F.lit(1.0)
+                     - F.size(F.array_distinct(lines)).cast("double")
+                     / n_lines)
+    line_chars = F.aggregate(F.transform(lines, F.length),
+                             F.lit(0).cast("long"), lambda a, x: a + x)
+    uniq_chars = F.aggregate(
+        F.transform(F.array_distinct(lines), F.length),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    dup_char_frac = (line_chars - uniq_chars).cast("double") \
+        / F.greatest(line_chars, F.lit(1)).cast("double")
+    gopher_pass = ((n_words >= 50) & (n_words <= 100_000)
+                   & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+                   & (symbol_ratio <= 0.1)
+                   & (bullet_frac <= 0.9) & (ell_end_frac <= 0.3)
+                   & (alpha_frac >= 0.8) & (n_stops >= 2)
+                   & (dup_line_frac <= 0.3) & (dup_char_frac <= 0.2))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stops.alias("n_stopwords"),
+        bullet_frac.alias("bullet_frac"),
+        ell_end_frac.alias("ellipsis_end_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_char_frac"),
+        gopher_pass.alias("gopher_pass"))
+
+
 def analyze(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile: all metrics in a single projection."""
     return df.select(
