@@ -1349,6 +1349,38 @@ def q_text_gopher_quality(spark, sf_dir):
     return gopher_quality(_t(spark, sf_dir, "documents"))
 
 
+@q("text_top_ngram", r"""
+WITH base AS (
+  SELECT doc_id, length(coalesce(text, '')) AS chars,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')
+           AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, chars,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, len(toks))] END AS gs
+  FROM base
+), ex AS (SELECT doc_id, chars, unnest(gs) AS g FROM grams),
+c AS (SELECT doc_id, chars, g, count(*) AS n FROM ex GROUP BY 1, 2, 3),
+t AS (SELECT doc_id, chars,
+             max(struct_pack(n := n, l := length(g), g := g)) AS top
+      FROM c GROUP BY 1, 2)
+SELECT b.doc_id, t.top.g AS top_gram,
+       CAST(coalesce(t.top.n, 0) AS INTEGER) AS top_n,
+       least(1.0, coalesce(t.top.n * t.top.l, 0)
+                  / greatest(b.chars, 1)) AS top_char_frac
+FROM base b LEFT JOIN t ON b.doc_id = t.doc_id
+""")
+def q_text_top_ngram(spark, sf_dir):
+    # Gopher's n-gram repetition metric (top-2-gram character fraction),
+    # distributed explode -> count -> per-doc struct max; the DuckDB
+    # replay uses the identical (count, len, gram) tie-break
+    from tsv_utils_spark.operators.text import top_ngram_stats
+
+    return top_ngram_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
 @q("grapheme_length", """
 SELECT doc_id, length(text) AS n_graphemes FROM documents
 """)

@@ -209,6 +209,46 @@ def gopher_quality(df: DataFrame, col: str = "text",
         gopher_pass.alias("gopher_pass"))
 
 
+def top_ngram_stats(df: DataFrame, col: str = "text",
+                    id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher's n-gram repetition metric, distributed: the fraction of a
+    document's characters covered by its most frequent word n-gram
+    (count x gram chars / doc chars, clipped to 1.0 — the standard
+    simplification that public pipelines apply, since exact positional
+    coverage of overlapping repeats needs per-occurrence spans).
+
+    Plan: explode grams -> per-(doc, gram) count (map-side combine) ->
+    per-doc max over (count, gram len, gram) struct — deterministic
+    tie-break, two shuffles, no Python. Returns
+    (id, top_gram, top_n, top_char_frac)."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    t = F.trim(F.lower(c))
+    toks = F.split(t, r"\s+")
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")) \
+             .otherwise(F.transform(
+                 F.sequence(F.lit(0), F.size(toks) - n),
+                 lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+    base = df.select(F.col(id_col), F.length(c).alias("__chars"),
+                     F.explode_outer(grams).alias("__g"))
+    counts = base.groupBy(id_col, "__chars", "__g") \
+                 .agg(F.count(F.lit(1)).alias("__n"))
+    pick = F.max(F.when(F.col("__g").isNotNull(),
+                        F.struct(F.col("__n"),
+                                 F.length("__g").alias("__l"),
+                                 F.col("__g")))).alias("__top")
+    top = counts.groupBy(id_col, "__chars").agg(pick)
+    frac = F.least(
+        F.lit(1.0),
+        F.coalesce(F.col("__top.__n") * F.col("__top.__l"), F.lit(0))
+         .cast("double")
+        / F.greatest("__chars", F.lit(1)).cast("double"))
+    return top.select(
+        F.col(id_col),
+        F.col("__top.__g").alias("top_gram"),
+        F.coalesce(F.col("__top.__n"), F.lit(0)).cast("int").alias("top_n"),
+        frac.alias("top_char_frac"))
+
+
 def analyze(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass text profile: all metrics in a single projection."""
     return df.select(
