@@ -1291,6 +1291,25 @@ def q_text_profile(spark, sf_dir):
     return analyze(d, "text", "doc_id")
 
 
+@q("decontaminate_exact", r"""
+SELECT d.doc_id, d.lang FROM documents d
+WHERE md5(trim(regexp_replace(lower(coalesce(d.text, '')), '\s+', ' ', 'g')))
+  NOT IN (SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                         '\s+', ' ', 'g')))
+          FROM documents WHERE doc_id % 7 = 0)
+""")
+def q_decontaminate_exact(spark, sf_dir):
+    # eval-set leakage guard: drop train docs whose normalized content
+    # fingerprint appears in the held-out set (anti-join on md5 keys)
+    from tsv_utils_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents") \
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    heldout = d.where(F.col("doc_id") % 7 == 0)
+    return decontaminate(d, heldout, "text", "doc_id", mode="exact") \
+        .select("doc_id", "lang")
+
+
 @q("text_gopher_quality", r"""
 WITH base AS (
   SELECT doc_id, coalesce(text, '') AS c,

@@ -330,6 +330,33 @@ class TestMultimodal:
         assert px.shape == (8, 8, 4)
 
 
+class TestDecontaminate:
+    def test_exact_and_near_modes(self, spark):
+        from tsv_utils_spark.operators.dedup import decontaminate
+
+        eval_doc = ("the held out benchmark question about distributed "
+                    "systems and their failure modes in production")
+        near_copy = eval_doc.replace("production", "prod")  # high jaccard
+        train = spark.createDataFrame(
+            [(1, eval_doc),                       # exact leak
+             (2, "  THE  held out benchmark question about distributed "
+                 "systems and their failure modes in production "),  # norm
+             (3, near_copy),                      # near leak
+             (4, "a completely different training document about cooking "
+                 "recipes and their many wonderful uses")],
+            ["doc_id", "text"])
+        heldout = spark.createDataFrame([(100, eval_doc)],
+                                        ["doc_id", "text"])
+        exact = {r.doc_id for r in
+                 decontaminate(train, heldout, "text", "doc_id",
+                               mode="exact").collect()}
+        assert exact == {3, 4}  # normalization catches doc 2 too
+        near = {r.doc_id for r in
+                decontaminate(train, heldout, "text", "doc_id",
+                              mode="near", threshold=0.5).collect()}
+        assert near == {4}
+
+
 class TestGopherQuality:
     def test_rules_on_crafted_docs(self, spark):
         from tsv_utils_spark.operators.text import gopher_quality

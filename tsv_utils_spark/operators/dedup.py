@@ -41,6 +41,73 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str,
     return df.join(reps, on=id_col, how="left_semi")
 
 
+def decontaminate(train: DataFrame, heldout: DataFrame, content_col: str,
+                  id_col: str, mode: str = "exact",
+                  shingle_n: int = 3, threshold: float = 0.8,
+                  normalize: bool = True) -> DataFrame:
+    """Remove training documents that overlap a held-out/eval set — the
+    standard leakage guard before LLM training.
+
+    - ``mode='exact'``: anti-join on the normalized-content fingerprint
+      (lower + whitespace-collapse md5, the ``fingerprint()`` key) —
+      one shuffle of 32-hex keys, heldout side broadcast when small.
+    - ``mode='near'``: additionally drops train docs whose shingle
+      Jaccard vs ANY heldout doc >= threshold, using the same
+      MinHash-LSH candidate machinery as minhash_dedup (train and
+      heldout signatures share one banding; candidate pairs are
+      verified with exact JVM Jaccard before anything is dropped).
+    """
+    def key(df):
+        c = F.col(content_col).cast("string")
+        if normalize:
+            c = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+        return df.withColumn("__fp", F.md5(c))
+
+    t = key(train)
+    h = key(heldout).select("__fp").dropDuplicates(["__fp"])
+    clean = t.join(F.broadcast(h), "__fp", "left_anti").drop("__fp")
+    if mode == "exact":
+        return clean
+    if mode != "near":
+        raise ValueError(f"bad mode {mode!r}")
+    # near-dup leakage: band both sides together, but only (train,
+    # heldout) pairs matter — tag the side, self-band, keep cross pairs
+    tagged = clean.select(F.col(id_col), F.col(content_col)).withColumn(
+        "__side", F.lit(0)).unionByName(
+        heldout.select(
+            (-F.col(id_col) - 1).alias(id_col),  # disjoint id space
+            F.col(content_col)).withColumn("__side", F.lit(1)))
+    sigs = minhash_signatures(tagged, content_col, id_col,
+                              shingle_n=shingle_n)
+    sides = tagged.select(id_col, "__side")
+
+    def to_bands(batches):
+        bands = 16
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            sig = np.stack(pdf["sig"].to_numpy()).astype(np.uint64)
+            bk = band_keys(sig, bands)
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
+                "bucket": bk.reshape(-1).astype(np.int64)})
+
+    banded = sigs.mapInPandas(
+        to_bands, schema=f"{_field_ddl(tagged, id_col)}, band int, "
+                         f"bucket long").join(sides, id_col)
+    a = banded.where(F.col("__side") == 0).select(
+        F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.where(F.col("__side") == 1).select(
+        F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = a.join(b, ["band", "bucket"]) \
+            .select("id_a", "id_b").dropDuplicates()
+    verified = ngram_jaccard_pairs(tagged, content_col, id_col, cand,
+                                   shingle_n=shingle_n) \
+        .where(F.col("jaccard") >= threshold)
+    leaked = verified.select(F.col("id_a").alias(id_col)).dropDuplicates()
+    return clean.join(leaked, id_col, "left_anti")
+
+
 def _tokenize_expr(col: str):
     # coalesce: NULL content tokenizes like empty content; this JVM
     # expression IS the tokenization contract — signature generation and
