@@ -1088,23 +1088,67 @@ def q_cm_mode(spark, sf_dir):
     return out.select("l_returnflag", "mode_status", "mode_n")
 
 
-@q("kll_quantiles")  # no oracle: genuinely approximate (rank-eps bound);
+def _rank_validated(li, key, value_col, est_df, probs, out_prefix, eps_of):
+    """Self-validating sketch-quantile row: melt estimates to
+    (key, q, est), compute each estimate's EXACT normalized rank over
+    the data, and emit a within-rank-eps flag — so the driver row itself
+    evidences the published error bound (no SQL oracle can replay a
+    sketch, but the bound check is exact and must be all-true)."""
+    structs = [F.struct(F.lit(q).alias("q"),
+                        F.col(f"{out_prefix}_q{f'{q:g}'.replace('.', '_')}")
+                         .alias("est")) for q in probs]
+    melted = est_df.select(key, F.explode(F.array(*structs)).alias("s")) \
+                   .select(key, F.col("s.q").alias("q"),
+                           F.col("s.est").alias("est"))
+    joined = li.select(key, value_col).join(F.broadcast(melted), key)
+    # DISCRETE-safe criterion: with atom-valued data (l_quantity has ~50
+    # distinct values, ~2% rank mass each) the exact rank of the correct
+    # atom can sit a whole atom-width from q — so require q to lie in
+    # [rank(< est) - eps, rank(<= est) + eps], which collapses to
+    # |rank - q| <= eps for continuous data
+    ranks = joined.groupBy(key, "q", "est").agg(
+        F.avg((F.col(value_col) <= F.col("est")).cast("double"))
+         .alias("rank_le"),
+        F.avg((F.col(value_col) < F.col("est")).cast("double"))
+         .alias("rank_lt"))
+    eps = eps_of(F.col("q"))
+    return ranks.select(
+        key, "q", F.round("est", 4).alias("est"),
+        F.round("rank_le", 6).alias("exact_rank"),
+        ((F.col("q") >= F.col("rank_lt") - eps)
+         & (F.col("q") <= F.col("rank_le") + eps)).alias("within_bound"))
+
+
+@q("kll_quantiles")  # no oracle: genuinely approximate — but the row is
+# SELF-VALIDATING: each estimate's exact rank and a within-eps flag ride
+# along (rank-eps ~0.015 at k=200/n=600k; 0.02 used as the gate)
 def q_kll_quantiles(spark, sf_dir):
-    # accuracy asserted in tests/test_sketch_agg.py against exact answers
     _ensure_shipped(spark)
     li = _t(spark, sf_dir, "lineitem")
-    return sketch_agg(li, ["l_returnflag"],
-                      [SketchSpec("kll", "l_extendedprice", "price",
-                                  {"quantiles": [0.5, 0.9, 0.99]})])
+    probs = [0.5, 0.9, 0.99]
+    est = sketch_agg(li, ["l_returnflag"],
+                     [SketchSpec("kll", "l_extendedprice", "price",
+                                 {"quantiles": probs})])
+    return _rank_validated(li, "l_returnflag", "l_extendedprice", est,
+                           probs, "price", lambda q: F.lit(0.02))
 
 
-@q("tdigest_quantiles")  # no oracle: approximate
+@q("tdigest_quantiles")  # no oracle: approximate — self-validating like
+# kll_quantiles; eps = 3x the k1 cluster half-width pi*sqrt(q(1-q))/delta
 def q_tdigest_quantiles(spark, sf_dir):
     _ensure_shipped(spark)
     li = _t(spark, sf_dir, "lineitem")
-    return sketch_agg(li, ["l_linestatus"],
-                      [SketchSpec("tdigest", "l_quantity", "qty",
-                                  {"quantiles": [0.5, 0.95]})])
+    probs = [0.5, 0.95]
+    est = sketch_agg(li, ["l_linestatus"],
+                     [SketchSpec("tdigest", "l_quantity", "qty",
+                                 {"quantiles": probs})])
+    import math
+
+    def eps_of(q):
+        return 3 * math.pi * F.sqrt(q * (1 - q)) / F.lit(200.0)
+
+    return _rank_validated(li, "l_linestatus", "l_quantity", est,
+                           probs, "qty", eps_of)
 
 
 # --------------------------------------------- training-data pipeline ops
