@@ -1269,12 +1269,38 @@ def q_simhash_near_dup(spark, sf_dir):
     return simhash_dedup(d, "text", "doc_id", max_hamming=3)
 
 
-@q("ann_lsh")  # no oracle: approximate by design; recall tested in pytest
+_PLANT_OFFSET = 1_000_000
+
+
+def _planted_corpus(emb, qv):
+    """Corpus + an exact twin of each query vector under a disjoint id —
+    the synthetic embeddings are near-orthogonal (no true neighbors), so
+    the meaningful self-validation is: does the index FIND the planted
+    twin? (the pytest planted-recall gate, in-row)."""
+    twins = qv.withColumn("vec_id", F.col("vec_id") + _PLANT_OFFSET)
+    return emb.unionByName(twins)
+
+
+def _with_planted_flag(approx):
+    found = approx.groupBy("query_id").agg(
+        F.max((F.col("neighbor_id")
+               == F.col("query_id") + _PLANT_OFFSET).cast("int"))
+         .alias("__f"))
+    return approx.join(found, "query_id").select(
+        "query_id", "neighbor_id",
+        (F.col("__f") == 1).alias("found_planted"))
+
+
+@q("ann_lsh")  # no oracle: approximate by design — but SELF-VALIDATING:
+# an exact twin of each query is planted in the corpus and every row
+# carries whether the index retrieved it (the pytest planted-recall
+# gate, evidenced in the driver row)
 def q_ann_lsh(spark, sf_dir):
     _ensure_shipped(spark)
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") < 3)
-    return lsh_cosine_topk(emb, qv, k=5).select("query_id", "neighbor_id")
+    approx = lsh_cosine_topk(_planted_corpus(emb, qv), qv, k=5)
+    return _with_planted_flag(approx)
 
 
 @q("text_profile", r"""
@@ -1459,14 +1485,16 @@ def q_grapheme_length(spark, sf_dir):
                     grapheme_length("text").cast("long").alias("n_graphemes"))
 
 
-@q("ann_ivf")  # no oracle: approximate (IVF cell probing); recall in pytest
+@q("ann_ivf")  # no oracle: approximate (IVF cell probing) — self-
+# validating planted-twin retrieval, like ann_lsh
 def q_ann_ivf(spark, sf_dir):
     from tsv_utils_spark.operators.similarity import ivf_topk
 
     _ensure_shipped(spark)
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") < 3)
-    return ivf_topk(emb, qv, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(_planted_corpus(emb, qv), qv, k=5)
+    return _with_planted_flag(approx)
 
 
 @q("embedding_near_dup")  # no oracle: LSH-bucketed candidates
