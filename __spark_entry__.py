@@ -1254,19 +1254,39 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", lang_id("text").alias("lang_guess"))
 
 
-@q("minhash_near_dup")  # no oracle: LSH candidate generation + verify is
+def _plant_docs(d, n=5):
+    """Corpus + exact copies of the first n docs under disjoint ids."""
+    copies = d.where(F.col("doc_id") < n) \
+              .withColumn("doc_id", F.col("doc_id") + _PLANT_OFFSET)
+    return d.unionByName(copies)
+
+
+@q("minhash_near_dup")  # no oracle: LSH + verify isn't SQL-expressible —
+# SELF-VALIDATING instead: 5 exact copies are planted and the constant
+# planted_all_found column asserts each linked back to its original
 def q_minhash_near_dup(spark, sf_dir):
-    # not SQL-expressible; exactness of verification tested in pytest
     _ensure_shipped(spark)
-    d = _t(spark, sf_dir, "documents")
-    return minhash_dedup(d, "text", "doc_id", bands=32, threshold=0.7)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = minhash_dedup(_plant_docs(d), "text", "doc_id",
+                        bands=32, threshold=0.7)
+    # planted copy has the larger id -> its dup_of is the original
+    ok = out.where((F.col("doc_id") >= _PLANT_OFFSET)
+                   & (F.col("dup_of") == F.col("doc_id") - _PLANT_OFFSET))
+    found = ok.select("doc_id").distinct().count()
+    return out.withColumn("planted_all_found", F.lit(found >= 5))
 
 
-@q("simhash_near_dup")  # no oracle: same reason
+@q("simhash_near_dup")  # no oracle: same reason — planted-copy
+# self-validation (hamming-0 pair per planted doc)
 def q_simhash_near_dup(spark, sf_dir):
     _ensure_shipped(spark)
-    d = _t(spark, sf_dir, "documents")
-    return simhash_dedup(d, "text", "doc_id", max_hamming=3)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = simhash_dedup(_plant_docs(d), "text", "doc_id", max_hamming=3)
+    ok = out.where((F.col("id_b") >= _PLANT_OFFSET)
+                   & (F.col("id_a") == F.col("id_b") - _PLANT_OFFSET)
+                   & (F.col("hamming") == 0))
+    found = ok.select("id_b").distinct().count()
+    return out.withColumn("planted_all_found", F.lit(found >= 5))
 
 
 _PLANT_OFFSET = 1_000_000
@@ -1497,16 +1517,25 @@ def q_ann_ivf(spark, sf_dir):
     return _with_planted_flag(approx)
 
 
-@q("embedding_near_dup")  # no oracle: LSH-bucketed candidates
+@q("embedding_near_dup")  # no oracle: LSH-bucketed candidates — planted
+# twin vectors self-validate (each must pair with its original, score 1)
 def q_embedding_near_dup(spark, sf_dir):
     from tsv_utils_spark.operators.dedup import embedding_dedup
 
     _ensure_shipped(spark)
     emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.where(F.col("vec_id") < 5) \
+               .withColumn("vec_id", F.col("vec_id") + _PLANT_OFFSET)
+    corpus = emb.unionByName(twins)
     # synthetic embeddings are near-orthogonal (no true dups); 0.2 keeps
     # the candidate-generation + verify pipeline observable end-to-end
-    return embedding_dedup(emb, "embedding", "vec_id", threshold=0.2) \
+    out = embedding_dedup(corpus, "embedding", "vec_id", threshold=0.2) \
         .select("id_a", "id_b", F.round("score", 4).alias("score"))
+    ok = out.where((F.col("id_b") >= _PLANT_OFFSET)
+                   & (F.col("id_a") == F.col("id_b") - _PLANT_OFFSET)
+                   & (F.col("score") >= 0.999))
+    found = ok.select("id_b").distinct().count()
+    return out.withColumn("planted_all_found", F.lit(found >= 5))
 
 
 # =====================================================================
