@@ -800,10 +800,12 @@ FROM events GROUP BY 1, 2
 def q_events_hourly(spark, sf_dir):
     # tumbling 1-hour window aggregation via F.window — the batch form of
     # the Structured Streaming windowed agg (same operator at 100 TB)
+    from tsv_utils_spark.operators.timeseries import windowed_agg
+
     e = _t(spark, sf_dir, "events")
-    out = (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 2).alias("total")))
+    out = windowed_agg(e, "ts", "1 hour", ["event_type"],
+                       [F.count(F.lit(1)).alias("n"),
+                        F.round(F.sum("value"), 2).alias("total")])
     return out.select(F.col("w.start").cast("string").alias("hour"),
                       "event_type", "n", "total")
 
@@ -824,17 +826,15 @@ FROM gaps GROUP BY user_id
 """)
 def q_events_sessions(spark, sf_dir):
     # sessionization: 30-minute inactivity gap starts a new session;
-    # integer-microsecond comparisons so both engines cut identically
+    # integer-microsecond comparisons (operators/timeseries.py) so both
+    # engines cut identically
+    from tsv_utils_spark.operators.timeseries import session_stats
+
+    # tie order within equal timestamps can't change the session COUNT
+    # (a zero gap never opens a session), so ts ordering alone is exact
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev = F.lag(us).over(w)
-    new_s = F.when(prev.isNull() | ((us - prev) > 1_800_000_000),
-                   F.lit(1)).otherwise(F.lit(0))
-    return (e.withColumn("__new_s", new_s)
-             .groupBy("user_id")
-             .agg(F.sum("__new_s").alias("n_sessions")))
+    return session_stats(e, "user_id", "ts", gap_minutes=30.0) \
+        .select("user_id", "n_sessions")
 
 
 @q("join_append_dup", """

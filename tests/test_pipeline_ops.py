@@ -330,6 +330,47 @@ class TestMultimodal:
         assert px.shape == (8, 8, 4)
 
 
+class TestTimeseries:
+    def test_sessionize_gap_semantics(self, spark):
+        from tsv_utils_spark.operators.timeseries import (
+            session_stats,
+            sessionize,
+        )
+
+        rows = [  # user, ts: u1 has gaps 10min, 40min, 5min -> 2 sessions
+            ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 10:10:00"),
+            ("u1", "2024-01-01 10:50:00"), ("u1", "2024-01-01 10:55:00"),
+            ("u2", "2024-01-01 09:00:00"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"]) \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        s = sessionize(df, "user_id", "ts", gap_minutes=30).collect()
+        by_user = {}
+        for r in s:
+            by_user.setdefault(r["user_id"], []).append(r["session_id"])
+        assert sorted(by_user["u1"]) == [1, 1, 2, 2]
+        assert by_user["u2"] == [1]
+        st = {r["user_id"]: r for r in
+              session_stats(df, "user_id", "ts", 30).collect()}
+        assert st["u1"]["n_sessions"] == 2 and st["u1"]["n_events"] == 4
+        assert st["u2"]["n_sessions"] == 1
+
+    def test_windowed_agg_is_plain_group_shape(self, spark):
+        from tsv_utils_spark.operators.timeseries import windowed_agg
+
+        df = spark.createDataFrame(
+            [("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:55:00", 2.0),
+             ("2024-01-01 11:05:00", 4.0)], ["ts", "v"]) \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        out = windowed_agg(df, "ts", "1 hour",
+                           aggs=[F.sum("v").alias("sv")])
+        vals = sorted(r["sv"] for r in out.collect())
+        assert vals == [3.0, 4.0]
+        p = out._jdf.queryExecution().executedPlan().toString()
+        final = p.split("== Initial Plan ==")[0]  # AQE prints plan twice
+        assert final.count("Exchange hashpartitioning") <= 1  # plain agg
+
+
 class TestDecontaminate:
     def test_exact_and_near_modes(self, spark):
         from tsv_utils_spark.operators.dedup import decontaminate
