@@ -6,8 +6,27 @@ from tsv_utils_spark.operators.sample import sample
 from tsv_utils_spark.operators.select import select_fields
 from tsv_utils_spark.operators.split import split_by_key, split_random
 from tsv_utils_spark.operators.append import append_tables
+from tsv_utils_spark.operators.dedup import (
+    decontaminate,
+    exact_dedup,
+    minhash_dedup,
+    simhash_dedup,
+)
+from tsv_utils_spark.operators.join import bloom_anti_join, bloom_semi_join, salted_join
+from tsv_utils_spark.operators.text import analyze, gopher_quality, top_ngram_stats
+from tsv_utils_spark.operators.timeseries import session_stats, sessionize, windowed_agg
+from tsv_utils_spark.operators.multimodal import (
+    audio_features,
+    image_features,
+    resize_images,
+)
 
 __all__ = [
     "Op", "summarize", "Predicates", "tsv_filter", "join_filter", "uniq",
     "sample", "select_fields", "split_by_key", "split_random", "append_tables",
+    "exact_dedup", "minhash_dedup", "simhash_dedup", "decontaminate",
+    "bloom_semi_join", "bloom_anti_join", "salted_join",
+    "analyze", "gopher_quality", "top_ngram_stats",
+    "sessionize", "session_stats", "windowed_agg",
+    "image_features", "audio_features", "resize_images",
 ]
