@@ -1381,6 +1381,66 @@ def q_text_profile(spark, sf_dir):
     return analyze(d, "text", "doc_id")
 
 
+@q("scrub_pii", r"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE doc_id % 4
+           WHEN 0 THEN ' contact user' || doc_id || '@example.com'
+           WHEN 1 THEN ' from 10.0.' || (doc_id % 256) || '.7'
+           WHEN 2 THEN ' call +1 415 555 01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+           ELSE '' END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, text AS c,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g') AS c1
+  FROM d
+), s2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(c1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+    regexp_replace(c1, '\b(\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g') AS c2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+    len(regexp_extract_all(c2,
+        '\+?\d{1,3}[ .\-]?\(?\d{2,4}\)?([ .\-]?\d{2,4}){2,4}')) AS n_phone,
+    regexp_replace(c2, '\+?\d{1,3}[ .\-]?\(?\d{2,4}\)?([ .\-]?\d{2,4}){2,4}',
+                   '[PHONE]', 'g') AS scrubbed
+  FROM s2
+)
+SELECT doc_id, CAST(n_email AS INTEGER) AS n_email,
+       CAST(n_ipv4 AS INTEGER) AS n_ipv4,
+       CAST(n_phone AS INTEGER) AS n_phone, scrubbed
+FROM s3
+""")
+def q_scrub_pii(spark, sf_dir):
+    # PII redaction (emails / IPv4 / phone-like numbers) over documents
+    # with deterministic planted PII; the DuckDB oracle replays the
+    # identical RE2-compatible patterns and redaction order
+    from tsv_utils_spark.operators.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com")))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit(" from 10.0."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".7")))
+         .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit(" call +1 415 555 01"),
+                        F.lpad((F.col("doc_id") % 100).cast("string"),
+                               2, "0")))
+         .otherwise(F.lit("")))
+    return scrub_pii(d.select("doc_id", planted.alias("text")))
+
+
 @q("decontaminate_exact", r"""
 SELECT d.doc_id, d.lang FROM documents d
 WHERE md5(trim(regexp_replace(lower(coalesce(d.text, '')), '\s+', ' ', 'g')))

@@ -621,3 +621,26 @@ class TestDistributedIds:
         assert list(small["id"]) == list(range(1, 501))
         assert list(big["id"]) == list(range(1, 501))
         assert (small.set_index("k")["id"] == big.set_index("k")["id"]).all()
+
+
+class TestScrubPii:
+    def test_redaction_and_counts(self, spark):
+        from tsv_utils_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail a@b.io and c.d@e.org, ip 8.8.8.8, tel 020-7946-0958"),
+             (2, "clean"), (3, None)], ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+        r = out[1]
+        assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (2, 1, 1)
+        assert "[EMAIL]" in r["scrubbed"] and "[IPV4]" in r["scrubbed"]
+        assert "@" not in r["scrubbed"] and "8.8.8.8" not in r["scrubbed"]
+        assert out[2]["scrubbed"] == "clean"
+        assert out[3]["scrubbed"] == "" and out[3]["n_email"] == 0
+
+    def test_no_python_in_plan(self, spark):
+        from tsv_utils_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        p = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

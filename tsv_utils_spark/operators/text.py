@@ -128,6 +128,39 @@ def grapheme_length(col: str):
     return _glen(F.col(col))
 
 
+# PII patterns chosen to be portable across regex engines (Java regex,
+# RE2/DuckDB): no lookaround, no backreferences. Order matters: emails
+# before phones (an email's digits must not half-match as a phone).
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"\+?\d{1,3}[ .\-]?\(?\d{2,4}\)?([ .\-]?\d{2,4}){2,4}"),
+]
+
+
+def scrub_pii(df: DataFrame, col: str = "text",
+              id_col: str = "doc_id",
+              replacement: str = "[{kind}]") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-like numbers — the
+    standard PII pass of training-data pipelines, as one Catalyst
+    projection (zero Python). Returns (id, scrubbed text, per-kind
+    match counts). Patterns are deliberately lookaround-free so any
+    RE2-class engine replays them identically (the DuckDB oracle does).
+    """
+    c = F.coalesce(F.col(col), F.lit(""))
+    counts = []
+    scrubbed = c
+    for kind, pat in _PII_PATTERNS:
+        # each kind counts on the PARTIALLY-scrubbed value (earlier kinds
+        # already redacted) so one span never counts twice
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+             .alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(
+            scrubbed, pat, replacement.format(kind=kind.upper()))
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
