@@ -13,7 +13,12 @@ from tsv_utils_spark.operators.dedup import (
     simhash_dedup,
 )
 from tsv_utils_spark.operators.join import bloom_anti_join, bloom_semi_join, salted_join
-from tsv_utils_spark.operators.text import analyze, gopher_quality, top_ngram_stats
+from tsv_utils_spark.operators.text import (
+    analyze,
+    gopher_quality,
+    scrub_pii,
+    top_ngram_stats,
+)
 from tsv_utils_spark.operators.timeseries import session_stats, sessionize, windowed_agg
 from tsv_utils_spark.operators.multimodal import (
     audio_features,
@@ -26,7 +31,7 @@ __all__ = [
     "sample", "select_fields", "split_by_key", "split_random", "append_tables",
     "exact_dedup", "minhash_dedup", "simhash_dedup", "decontaminate",
     "bloom_semi_join", "bloom_anti_join", "salted_join",
-    "analyze", "gopher_quality", "top_ngram_stats",
+    "analyze", "gopher_quality", "top_ngram_stats", "scrub_pii",
     "sessionize", "session_stats", "windowed_agg",
     "image_features", "audio_features", "resize_images",
 ]
