@@ -1268,11 +1268,14 @@ def q_minhash_near_dup(spark, sf_dir):
     _ensure_shipped(spark)
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = minhash_dedup(_plant_docs(d), "text", "doc_id",
-                        bands=32, threshold=0.7)
-    # planted copy has the larger id -> its dup_of is the original
-    ok = out.where((F.col("doc_id") >= _PLANT_OFFSET)
-                   & (F.col("dup_of") == F.col("doc_id") - _PLANT_OFFSET))
-    found = ok.select("doc_id").distinct().count()
+                        bands=32, threshold=0.7) \
+        .localCheckpoint(eager=True)  # the flag count below must not
+    # re-run the whole LSH pipeline when the driver collects the result
+    # planted copy must appear in the OUTPUT (linked into some verified
+    # component — dup_of is the component MINIMUM, which is the original
+    # only when the original isn't itself a near-dup of a smaller id)
+    found = out.where(F.col("doc_id") >= _PLANT_OFFSET) \
+               .select("doc_id").distinct().count()
     return out.withColumn("planted_all_found", F.lit(found >= 5))
 
 
@@ -1281,7 +1284,8 @@ def q_minhash_near_dup(spark, sf_dir):
 def q_simhash_near_dup(spark, sf_dir):
     _ensure_shipped(spark)
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = simhash_dedup(_plant_docs(d), "text", "doc_id", max_hamming=3)
+    out = simhash_dedup(_plant_docs(d), "text", "doc_id", max_hamming=3) \
+        .localCheckpoint(eager=True)
     ok = out.where((F.col("id_b") >= _PLANT_OFFSET)
                    & (F.col("id_a") == F.col("id_b") - _PLANT_OFFSET)
                    & (F.col("hamming") == 0))
@@ -1301,14 +1305,25 @@ def _planted_corpus(emb, qv):
     return emb.unionByName(twins)
 
 
-def _with_planted_flag(approx):
+def _with_planted_flag(approx, qv):
+    # derive the flag FROM THE QUERY SET, not from approx's groups — a
+    # query that retrieved nothing at all must still surface as a
+    # found_planted=False row, never silently vanish
+    queries = qv.select(F.col("vec_id").alias("query_id"))
     found = approx.groupBy("query_id").agg(
         F.max((F.col("neighbor_id")
                == F.col("query_id") + _PLANT_OFFSET).cast("int"))
          .alias("__f"))
-    return approx.join(found, "query_id").select(
-        "query_id", "neighbor_id",
-        (F.col("__f") == 1).alias("found_planted"))
+    per_q = queries.join(found, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("__f") == 1, F.lit(False)).alias("found_planted"))
+    rows = approx.join(per_q, "query_id").select(
+        "query_id", "neighbor_id", "found_planted")
+    empties = per_q.join(approx.select("query_id").distinct(),
+                         "query_id", "left_anti") \
+        .select("query_id", F.lit(None).cast("long").alias("neighbor_id"),
+                "found_planted")
+    return rows.unionByName(empties)
 
 
 @q("ann_lsh")  # no oracle: approximate by design — but SELF-VALIDATING:
@@ -1320,7 +1335,7 @@ def q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") < 3)
     approx = lsh_cosine_topk(_planted_corpus(emb, qv), qv, k=5)
-    return _with_planted_flag(approx)
+    return _with_planted_flag(approx, qv)
 
 
 @q("text_profile", r"""
@@ -1574,7 +1589,7 @@ def q_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") < 3)
     approx = ivf_topk(_planted_corpus(emb, qv), qv, k=5)
-    return _with_planted_flag(approx)
+    return _with_planted_flag(approx, qv)
 
 
 @q("embedding_near_dup")  # no oracle: LSH-bucketed candidates — planted
@@ -1590,7 +1605,8 @@ def q_embedding_near_dup(spark, sf_dir):
     # synthetic embeddings are near-orthogonal (no true dups); 0.2 keeps
     # the candidate-generation + verify pipeline observable end-to-end
     out = embedding_dedup(corpus, "embedding", "vec_id", threshold=0.2) \
-        .select("id_a", "id_b", F.round("score", 4).alias("score"))
+        .select("id_a", "id_b", F.round("score", 4).alias("score")) \
+        .localCheckpoint(eager=True)
     ok = out.where((F.col("id_b") >= _PLANT_OFFSET)
                    & (F.col("id_a") == F.col("id_b") - _PLANT_OFFSET)
                    & (F.col("score") >= 0.999))

@@ -397,6 +397,16 @@ class TestDecontaminate:
                               mode="near", threshold=0.5).collect()}
         assert near == {4}
 
+    def test_near_mode_rejects_non_integer_ids(self, spark):
+        from tsv_utils_spark.operators.dedup import decontaminate
+
+        t = spark.createDataFrame([("u1", "text a")], ["doc_id", "text"])
+        h = spark.createDataFrame([("u9", "text b")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="integer id"):
+            decontaminate(t, h, "text", "doc_id", mode="near")
+        # exact mode accepts any id type
+        assert decontaminate(t, h, "text", "doc_id").count() == 1
+
 
 class TestGopherQuality:
     def test_rules_on_crafted_docs(self, spark):

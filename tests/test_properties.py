@@ -177,8 +177,10 @@ class TestTsvRoundtripProperties:
     # matching quote char — documented limitation); anything else —
     # quotes, backslashes, unicode, leading/trailing whitespace — must
     # survive write_tsv -> read_tsv byte-identically
+    # \x01 additionally excluded: it is the redirected comment char
+    # (see write_tsv) and inherits univocity's line-start quoting quirk
     _cell = st.text(
-        alphabet=st.characters(blacklist_characters="\t\r\n\x00",
+        alphabet=st.characters(blacklist_characters="\t\r\n\x00\x01",
                                blacklist_categories=("Cs",)),
         min_size=0, max_size=12)
 

@@ -127,6 +127,19 @@ class TestTsvIO:
         rows = sorted(tuple(r) for r in back.collect())
         assert rows == [("1", "2"), ("k", "v")]
 
+    def test_hash_leading_cell_not_quoted(self, spark, tmp_path):
+        # univocity quotes lines starting with its comment char ('#' by
+        # default) — write_tsv redirects the comment char so '#'-leading
+        # cells write verbatim (tsv-utils has no comment syntax)
+        from tsv_utils_spark.sources.tsv import read_tsv, write_tsv
+
+        df = spark.createDataFrame(
+            [("#hash", "x"), ("a#b", "#tag")], ["a", "b"])
+        out = str(tmp_path / "hashes")
+        write_tsv(df, out)
+        back = sorted(tuple(r) for r in read_tsv(spark, out).collect())
+        assert back == [("#hash", "x"), ("a#b", "#tag")]
+
     def test_empty_lines_kept_as_empty_records(self, spark, tmp_path):
         # tsv-utils treats an empty line as a record with one empty field;
         # the fast path must keep it (univocity's CSV path drops it)

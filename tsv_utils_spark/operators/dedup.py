@@ -44,38 +44,56 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str,
 def decontaminate(train: DataFrame, heldout: DataFrame, content_col: str,
                   id_col: str, mode: str = "exact",
                   shingle_n: int = 3, threshold: float = 0.8,
-                  normalize: bool = True) -> DataFrame:
+                  normalize: bool = True,
+                  broadcast_heldout: bool = True) -> DataFrame:
     """Remove training documents that overlap a held-out/eval set — the
     standard leakage guard before LLM training.
 
     - ``mode='exact'``: anti-join on the normalized-content fingerprint
       (lower + whitespace-collapse md5, the ``fingerprint()`` key) —
-      one shuffle of 32-hex keys, heldout side broadcast when small.
+      one shuffle of 32-hex keys. ``broadcast_heldout=True`` (default)
+      hints a broadcast of the fingerprint set; pass False when the
+      held-out set is itself huge (the anti-join then plans a shuffle
+      join / AQE decides).
     - ``mode='near'``: additionally drops train docs whose shingle
       Jaccard vs ANY heldout doc >= threshold, using the same
       MinHash-LSH candidate machinery as minhash_dedup (train and
       heldout signatures share one banding; candidate pairs are
       verified with exact JVM Jaccard before anything is dropped).
+      Near mode requires NON-NEGATIVE INTEGER ids (the held-out side is
+      mapped to a disjoint negative id space); exact mode accepts any
+      id type.
     """
     def key(df):
         c = F.col(content_col).cast("string")
         if normalize:
-            c = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+            c = F.trim(F.regexp_replace(F.lower(c), "[ \t\n\f\r]+", " "))
         return df.withColumn("__fp", F.md5(c))
 
     t = key(train)
     h = key(heldout).select("__fp").dropDuplicates(["__fp"])
-    clean = t.join(F.broadcast(h), "__fp", "left_anti").drop("__fp")
+    if broadcast_heldout:
+        h = F.broadcast(h)
+    clean = t.join(h, "__fp", "left_anti").drop("__fp")
     if mode == "exact":
         return clean
     if mode != "near":
         raise ValueError(f"bad mode {mode!r}")
+    id_type = dict(train.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"decontaminate(mode='near') needs an integer id column to "
+            f"build the disjoint held-out id space; {id_col!r} is "
+            f"{id_type} — add a surrogate integer id or use mode='exact'")
     # near-dup leakage: band both sides together, but only (train,
-    # heldout) pairs matter — tag the side, self-band, keep cross pairs
+    # heldout) pairs matter — tag the side, self-band, keep cross pairs.
+    # heldout ids map to the NEGATIVE space (-id - 1): disjoint from any
+    # non-negative train id (enforced conceptually by the guard above —
+    # negative train ids would collide, hence the documented requirement)
     tagged = clean.select(F.col(id_col), F.col(content_col)).withColumn(
         "__side", F.lit(0)).unionByName(
         heldout.select(
-            (-F.col(id_col) - 1).alias(id_col),  # disjoint id space
+            (-F.col(id_col) - 1).alias(id_col),
             F.col(content_col)).withColumn("__side", F.lit(1)))
     sigs = minhash_signatures(tagged, content_col, id_col,
                               shingle_n=shingle_n)
@@ -112,7 +130,7 @@ def _tokenize_expr(col: str):
     # coalesce: NULL content tokenizes like empty content; this JVM
     # expression IS the tokenization contract — signature generation and
     # the exact-Jaccard verify both consume it, so they can never drift
-    return F.split(F.trim(F.lower(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+    return F.split(F.trim(F.lower(F.coalesce(F.col(col), F.lit("")))), "[ \t\n\f\r]+")
 
 
 def _shingle_expr(col: str, n: int):

@@ -28,7 +28,7 @@ def token_count(col: str) -> Column:
     """Whitespace token count; 0 for empty/blank text."""
     t = F.trim(F.col(col))
     return F.when(F.length(t) == 0, F.lit(0)) \
-            .otherwise(F.size(F.split(t, r"\s+"))).alias("n_tokens")
+            .otherwise(F.size(F.split(t, "[ \t\n\f\r]+"))).alias("n_tokens")
 
 
 def bpe_ish_token_count(col: str) -> Column:
@@ -55,7 +55,7 @@ def upper_ratio(col: str, digits: int = 6) -> Column:
 
 def stopword_ratio(col: str, stopwords=None, digits: int = 6) -> Column:
     sw = stopwords or ["the", "and", "of", "to", "a", "is", "in", "it"]
-    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(col))), "[ \t\n\f\r]+")
     hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
     n = F.size(toks)
     return F.round(F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0)),
@@ -93,7 +93,7 @@ def fingerprint(col: str) -> Column:
     """Deterministic document fingerprint: md5 of case/whitespace-normalized
     text — the exact-dedup key (rolling/shingle hashing lives in
     sketches.minhash for the near-dup path)."""
-    norm = F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.col(col)), "[ \t\n\f\r]+", " ")
     return F.md5(F.trim(norm))
 
 
@@ -187,7 +187,7 @@ def gopher_quality(df: DataFrame, col: str = "text",
     """
     c = F.coalesce(F.col(col), F.lit(""))
     t = F.trim(c)
-    words = F.split(t, r"\s+")
+    words = F.split(t, "[ \t\n\f\r]+")
     n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     sum_word_len = F.aggregate(
@@ -253,10 +253,16 @@ def top_ngram_stats(df: DataFrame, col: str = "text",
     Plan: explode grams -> per-(doc, gram) count (map-side combine) ->
     per-doc max over (count, gram len, gram) struct — deterministic
     tie-break, two shuffles, no Python. Returns
-    (id, top_gram, top_n, top_char_frac)."""
+    (id, top_gram, top_n, top_char_frac).
+
+    NB: the gram construction here intentionally DIFFERS from
+    dedup._shingle_expr's: a doc with fewer than n tokens has NO n-gram
+    (empty array -> frac 0), whereas signatures need a whole-doc
+    fallback shingle. Keep both tokenizers on the shared whitespace
+    class [ \\t\\n\\f\\r]+ (RE2-portable) if either changes."""
     c = F.coalesce(F.col(col), F.lit(""))
     t = F.trim(F.lower(c))
-    toks = F.split(t, r"\s+")
+    toks = F.split(t, "[ \t\n\f\r]+")
     grams = F.when(F.size(toks) < n, F.array().cast("array<string>")) \
              .otherwise(F.transform(
                  F.sequence(F.lit(0), F.size(toks) - n),

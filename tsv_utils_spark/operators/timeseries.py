@@ -42,8 +42,10 @@ def session_stats(df: DataFrame, user_col: str, ts_col: str,
     """Per-user session counts (the tsv-summarize-style rollup of
     ``sessionize``)."""
     s = sessionize(df, user_col, ts_col, gap_minutes=gap_minutes)
+    # session ids are dense per-user ordinals from 1, so max == count
+    # distinct — without the per-group hash set a distinct agg builds
     return s.groupBy(user_col).agg(
-        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("session_id").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"))
 
 

@@ -165,10 +165,14 @@ def write_tsv(df: DataFrame, path: str, header: bool = True,
               delimiter: str = "\t", single_file: bool = False) -> None:
     """TAB-separated, no quoting, header on, cell whitespace preserved.
 
-    Limitation: ``quote=""`` makes the CSV writer use \\u0000 as its
-    (never-matching) quote char, so a literal NUL byte inside a cell is
-    not round-trippable — everything else, including quotes and
-    backslashes, is written verbatim (property-tested)."""
+    Limitations (both property-tested): ``quote=""`` makes the CSV
+    writer use \\u0000 as its (never-matching) quote char, so a literal
+    NUL inside a cell is not round-trippable; and univocity quotes any
+    line that STARTS with its comment char, so the comment char is
+    redirected from the default '#' to \\u0001 — a row whose first cell
+    begins with '#' now writes verbatim (tsv-utils has no comment
+    syntax), at the cost of \\u0001 inheriting the quirk. Everything
+    else, including quotes and backslashes, is written verbatim."""
     out = df.coalesce(1) if single_file else df
     (out.write.mode("overwrite")
         .option("sep", delimiter)
@@ -180,4 +184,5 @@ def write_tsv(df: DataFrame, path: str, header: bool = True,
         # property test with a single-space cell)
         .option("ignoreLeadingWhiteSpace", False)
         .option("ignoreTrailingWhiteSpace", False)
+        .option("comment", chr(1))
         .csv(path))
