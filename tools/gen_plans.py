@@ -55,6 +55,12 @@ NOTES = {
         "exact n-gram Jaccard verify: shingles built by JVM "
         "split/slice/array_join, set algebra by array_intersect/union — "
         "no Python anywhere",
+    "text_gopher_quality":
+        "all Gopher quality rules in ONE codegen projection: single "
+        "scan, zero exchanges, zero Python",
+    "scrub_pii":
+        "sequential regexp redaction chain: pure projection, the "
+        "patterns replay identically in RE2 engines",
 }
 
 
