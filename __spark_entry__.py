@@ -634,6 +634,49 @@ def q_gen_random_inorder_det(spark, sf_dir):
     return gen_random_inorder(d, u_expr=u).select("doc_id", "random_value")
 
 
+@q("sample_stratified_det", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT
+         / 4503599627370496.0 AS u
+  FROM documents
+) WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+                      WHEN 'de' THEN 0.1 ELSE 0.0 END
+""")
+def q_sample_stratified_det(spark, sf_dir):
+    # per-stratum Bernoulli (language-balanced selection) with the
+    # md5-derived exact uniform — replayable cross-engine
+    from tsv_utils_spark.operators.sample import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("double") / F.lit(2.0 ** 52))
+    return stratified_sample(d, "lang",
+                             {"en": 0.5, "fr": 0.25, "de": 0.1},
+                             u_expr=u).select("doc_id", "lang")
+
+
+@q("sample_token_budget", """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY md5(doc_id::VARCHAR)
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS cum_excl
+  FROM documents
+) WHERE coalesce(cum_excl, 0) < 50000
+""")
+def q_sample_token_budget(spark, sf_dir):
+    # token-budget corpus selection: greedy prefix in deterministic
+    # md5 order until the cumulative weight reaches the budget —
+    # distributed range-partition cumsum, no single-task window
+    from tsv_utils_spark.operators.sample import sample_to_budget
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars") \
+        .withColumn("__ord", F.md5(F.col("doc_id").cast("string")))
+    out = sample_to_budget(d, "n_chars", 50_000, "__ord")
+    return out.select("doc_id", "n_chars")
+
+
 @q("filter_empty_blank", """
 SELECT event_id, maybe_blank FROM (
   SELECT event_id,

@@ -545,3 +545,45 @@ class TestEmbeddingDedup:
         pairs = set(zip(out["id_a"], out["id_b"]))
         found = sum((i, i + 1000) in pairs for i in range(5))
         assert found >= 4  # LSH recall on near-identical vectors
+
+
+class TestSampleBudgetAndStrata:
+    def test_sample_to_budget_prefix_semantics(self, spark):
+        from tsv_utils_spark.operators.sample import sample_to_budget
+
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(100)], ["id", "w"]) \
+            .withColumn("__ord", F.md5(F.col("id").cast("string")))
+        out = sample_to_budget(df, "w", 55, "__ord").toPandas()
+        # budget 55 over weight-10 rows: cum_excl < 55 keeps rows at
+        # cum_excl 0,10,20,30,40,50 -> 6 rows (boundary crosser included)
+        assert len(out) == 6
+        # the kept set is the md5-order prefix
+        pdf = df.toPandas().sort_values("__ord")
+        assert set(out["id"]) == set(pdf.head(6)["id"])
+
+    def test_sample_to_budget_matches_window_cumsum(self, tables, spark):
+        from tsv_utils_spark.operators.sample import sample_to_budget
+
+        d = tables["documents"].select("doc_id", "n_chars") \
+            .withColumn("__ord", F.md5(F.col("doc_id").cast("string")))
+        got = sorted(r.doc_id for r in
+                     sample_to_budget(d, "n_chars", 20_000, "__ord")
+                     .collect())
+        from pyspark.sql import Window
+        w = Window.orderBy("__ord").rowsBetween(Window.unboundedPreceding, -1)
+        want = sorted(r.doc_id for r in
+                      d.withColumn("__c", F.coalesce(F.sum("n_chars").over(w),
+                                                     F.lit(0)))
+                       .where(F.col("__c") < 20_000).collect())
+        assert got == want
+
+    def test_stratified_sample_rates(self, tables):
+        from tsv_utils_spark.operators.sample import stratified_sample
+
+        d = tables["documents"]
+        out = stratified_sample(d, "lang", {"en": 1.0, "fr": 0.0})
+        langs = {r.lang for r in out.select("lang").distinct().collect()}
+        assert langs == {"en"}  # fr sampled at 0, others dropped entirely
+        n_en = d.where("lang = 'en'").count()
+        assert out.count() == n_en  # fraction 1.0 keeps every en row

@@ -161,6 +161,72 @@ def sample_with_replacement(df: DataFrame, n: int,
     return out
 
 
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed: int = 2438424139,
+                      u_expr=None) -> DataFrame:
+    """Per-stratum Bernoulli sampling (language-balanced corpus
+    selection): keep a row iff its uniform draw < fractions[stratum].
+    Strata absent from ``fractions`` are dropped (fraction 0). With
+    ``u_expr`` (md5-derived uniform) the sample is exactly replayable
+    cross-engine; default is Spark's seeded rand. Pure filter — no
+    shuffle, pushes the fraction lookup into codegen via a literal map.
+    """
+    u = u_expr if u_expr is not None else F.rand(seed)
+    kv = []
+    for k, v in fractions.items():
+        kv += [F.lit(k), F.lit(float(v))]
+    frac = F.element_at(F.create_map(*kv), F.col(strata_col))
+    return df.where(u < F.coalesce(frac, F.lit(0.0)))
+
+
+def sample_to_budget(df: DataFrame, weight_col: str, budget: float,
+                     order_col: str) -> DataFrame:
+    """Greedy prefix under a weight budget: order rows by ``order_col``
+    (pass an md5 expression column name for a deterministic shuffle
+    order) and keep every row whose cumulative weight BEFORE it is
+    < budget — the boundary-crossing row is included. The standard
+    token-budget corpus selection ("take ~1B tokens").
+
+    Distributed cumulative sum, no single-task window: range-partition
+    on the order column, per-partition weight totals -> driver offsets
+    (one tiny collect) -> per-partition running sums. Partitions whose
+    offset already exceeds the budget contribute nothing.
+    """
+    spark = df.sparkSession
+    parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    ranged = (df.repartitionByRange(parts, F.col(order_col))
+                .sortWithinPartitions(order_col)
+                .localCheckpoint(eager=True))  # two jobs must observe the
+    # SAME range placement (RangePartitioner samples are not rerun-stable)
+    sums = (ranged.withColumn("__pid", F.spark_partition_id())
+                  .groupBy("__pid")
+                  .agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
+                  .orderBy("__pid").collect())
+    offsets, acc = {}, 0.0
+    for r in sums:
+        offsets[r["__pid"]] = acc
+        acc += r["__w"] or 0.0
+    boff = spark.sparkContext.broadcast(offsets)
+    bcols = list(df.columns)
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run = boff.value.get(pid, 0.0)
+        for pdf in batches:
+            if run >= budget:
+                return
+            w = pdf[weight_col].astype("float64").to_numpy()
+            cum_excl = run + w.cumsum() - w
+            run += float(w.sum())
+            yield pdf[cum_excl < budget]
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in ranged.schema.fields)
+    return ranged.mapInPandas(gen, schema=schema).select(*bcols)
+
+
 def gen_random_inorder(df: DataFrame, weight: str | None = None,
                        seed: int = 2438424139, u_expr=None) -> DataFrame:
     """--gen-random-inorder (:2161): append the per-row score, keep all rows."""
