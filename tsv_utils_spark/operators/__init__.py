@@ -2,7 +2,11 @@ from tsv_utils_spark.operators.summarize import Op, summarize
 from tsv_utils_spark.operators.filter import Predicates, tsv_filter
 from tsv_utils_spark.operators.join import join_filter
 from tsv_utils_spark.operators.uniq import uniq
-from tsv_utils_spark.operators.sample import sample
+from tsv_utils_spark.operators.sample import (
+    sample,
+    sample_to_budget,
+    stratified_sample,
+)
 from tsv_utils_spark.operators.select import select_fields
 from tsv_utils_spark.operators.split import split_by_key, split_random
 from tsv_utils_spark.operators.append import append_tables
@@ -28,7 +32,7 @@ from tsv_utils_spark.operators.multimodal import (
 
 __all__ = [
     "Op", "summarize", "Predicates", "tsv_filter", "join_filter", "uniq",
-    "sample", "select_fields", "split_by_key", "split_random", "append_tables",
+    "sample", "sample_to_budget", "stratified_sample", "select_fields", "split_by_key", "split_random", "append_tables",
     "exact_dedup", "minhash_dedup", "simhash_dedup", "decontaminate",
     "bloom_semi_join", "bloom_anti_join", "salted_join",
     "analyze", "gopher_quality", "top_ngram_stats", "scrub_pii",
