@@ -1499,6 +1499,52 @@ def q_scrub_pii(spark, sf_dir):
     return scrub_pii(d.select("doc_id", planted.alias("text")))
 
 
+@q("extract_urls", r"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '') ||
+         CASE doc_id % 3
+           WHEN 0 THEN ' see https://example.com/a' || doc_id
+                       || ' and http://Mirror' || (doc_id % 5)
+                       || '.example.org:8080/x'
+           WHEN 1 THEN ' ref https://docs.example.net'
+           ELSE '' END AS text
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           'https?://[A-Za-z0-9.\-]+(:\d+)?(/[^ \t\n\f\r<>"'']*)?') AS urls
+  FROM d
+)
+SELECT doc_id, CAST(coalesce(len(urls), 0) AS INTEGER) AS n_urls,
+       coalesce(array_to_string(list_sort(list_distinct(
+         list_transform(urls,
+           x -> lower(regexp_extract(x, 'https?://([A-Za-z0-9.\-]+)', 1))
+         ))), ','), '') AS domains_csv
+FROM u
+""")
+def q_extract_urls(spark, sf_dir):
+    # URL/domain inventory over documents with deterministic planted
+    # links; arrays are sorted + joined for a stable cross-engine hash
+    from tsv_utils_spark.operators.text import extract_urls
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" see https://example.com/a"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" and http://Mirror"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit(".example.org:8080/x")))
+         .when(F.col("doc_id") % 3 == 1, F.lit(" ref https://docs.example.net"))
+         .otherwise(F.lit("")))
+    out = extract_urls(d.select("doc_id", planted.alias("text")))
+    return out.select(
+        "doc_id", "n_urls",
+        F.array_join(F.array_sort("domains"), ",").alias("domains_csv"))
+
+
 @q("decontaminate_exact", r"""
 SELECT d.doc_id, d.lang FROM documents d
 WHERE md5(trim(regexp_replace(lower(coalesce(d.text, '')), '\s+', ' ', 'g')))

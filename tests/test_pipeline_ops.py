@@ -654,3 +654,34 @@ class TestScrubPii:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         p = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestUrlsAndCompression:
+    def test_extract_urls(self, spark):
+        from tsv_utils_spark.operators.text import extract_urls
+
+        df = spark.createDataFrame(
+            [(1, "see https://A.Example.com/x?q=1 and http://b.org:8080/p "
+                 "plus https://a.example.com/other"),
+             (2, "no links"), (3, None)], ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in extract_urls(df).collect()}
+        assert out[1]["n_urls"] == 3
+        assert sorted(out[1]["domains"]) == ["a.example.com", "b.org"]
+        assert out[2]["n_urls"] == 0 and out[2]["domains"] == []
+        assert out[3]["n_urls"] == 0
+
+    def test_compression_ratio_separates_repetitive_text(self, spark):
+        from tsv_utils_spark.operators.text import compression_ratio
+
+        import numpy as np
+        rng = np.random.default_rng(3)
+        noise = "".join(chr(rng.integers(0x4E00, 0x9FFF)) for _ in range(2000))
+        df = spark.createDataFrame(
+            [(1, "spam " * 2000),          # highly repetitive
+             (2, noise),                    # high entropy
+             (3, "")], ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+        assert out[1]["compression_ratio"] < 0.05   # repetition compresses
+        assert out[2]["compression_ratio"] > 0.5    # entropy doesn't
+        assert out[1]["raw_bytes"] == 10000
+        assert out[3]["compression_ratio"] <= 12.0  # tiny docs: header-bound

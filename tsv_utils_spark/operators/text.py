@@ -161,6 +161,54 @@ def scrub_pii(df: DataFrame, col: str = "text",
     return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
 
 
+# RE2-portable URL pattern (no lookaround): scheme://host[:port][/path]
+_URL_PATTERN = r"https?://[A-Za-z0-9.\-]+(:\d+)?(/[^ \t\n\f\r<>\"']*)?"
+_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.\-]+)"
+
+
+def extract_urls(df: DataFrame, col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document URL inventory: (id, urls array, domains array,
+    n_urls) — source attribution / link-density filtering. One codegen
+    projection; the pattern is lookaround-free so RE2 engines replay it
+    identically."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    urls = F.regexp_extract_all(c, F.lit(_URL_PATTERN), F.lit(0))
+    domains = F.array_distinct(
+        F.transform(urls,
+                    lambda u: F.lower(F.regexp_extract(u, _DOMAIN_PATTERN,
+                                                       1))))
+    return df.select(F.col(id_col), urls.alias("urls"),
+                     domains.alias("domains"),
+                     F.size(urls).cast("int").alias("n_urls"))
+
+
+def compression_ratio(df: DataFrame, col: str = "text",
+                      id_col: str = "doc_id",
+                      level: int = 6) -> DataFrame:
+    """zlib compression ratio per document (compressed/raw bytes) — the
+    CCNet/Dolma-style repetitiveness signal: highly repetitive or
+    boilerplate text compresses far below ~0.4, natural prose sits
+    higher. Arrow-batched (zlib is C; the per-doc call is the kernel,
+    like the codecs) — no SQL oracle exists for zlib, so the gate is
+    pytest on constructed low/high-entropy docs."""
+    import zlib
+
+    def gen(batches):
+        for pdf in batches:
+            texts = pdf[col].fillna("")
+            raws = [t.encode("utf-8") for t in texts]
+            ratios = [len(zlib.compress(b, level)) / max(len(b), 1)
+                      for b in raws]
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "raw_bytes": [len(b) for b in raws],
+                                "compression_ratio": ratios})
+
+    return df.select(id_col, col).mapInPandas(
+        gen, schema=f"{id_col} long, raw_bytes long, "
+                    f"compression_ratio double")
+
+
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
