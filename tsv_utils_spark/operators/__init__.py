@@ -19,6 +19,8 @@ from tsv_utils_spark.operators.dedup import (
 from tsv_utils_spark.operators.join import bloom_anti_join, bloom_semi_join, salted_join
 from tsv_utils_spark.operators.text import (
     analyze,
+    compression_ratio,
+    extract_urls,
     gopher_quality,
     scrub_pii,
     top_ngram_stats,
@@ -36,6 +38,7 @@ __all__ = [
     "exact_dedup", "minhash_dedup", "simhash_dedup", "decontaminate",
     "bloom_semi_join", "bloom_anti_join", "salted_join",
     "analyze", "gopher_quality", "top_ngram_stats", "scrub_pii",
+    "extract_urls", "compression_ratio",
     "sessionize", "session_stats", "windowed_agg",
     "image_features", "audio_features", "resize_images",
 ]
