@@ -257,3 +257,32 @@ class TestCheckpoint:
         partials = spark.read.parquet(f"{ckpt}/partials")
         cols = set(partials.columns)
         assert {"epoch", "partition_id", "__rows", "__blob_0"} <= cols
+
+
+class TestTransformFingerprint:
+    def test_process_independent_with_nested_code(self):
+        # nested code objects (inner lambdas) repr with a per-process
+        # memory address; the fingerprint must hash them structurally so
+        # a restart can resume the identical job (ADVICE r3)
+        from tsv_utils_spark.plans.checkpoint import _transform_fingerprint
+
+        src = ("def tf(df):\n"
+               "    f = lambda x: x + 1\n"
+               "    return df\n")
+        ns1, ns2 = {}, {}
+        exec(src, ns1)  # two compilations simulate two interpreter
+        exec(src, ns2)  # processes: same code, different object addresses
+        f1, f2 = ns1["tf"], ns2["tf"]
+        c1 = next(c for c in f1.__code__.co_consts if hasattr(c, "co_code"))
+        c2 = next(c for c in f2.__code__.co_consts if hasattr(c, "co_code"))
+        assert repr(c1) != repr(c2)  # the address-instability being fixed
+        assert _transform_fingerprint(f1) == _transform_fingerprint(f2)
+
+    def test_changed_nested_body_changes_fingerprint(self):
+        from tsv_utils_spark.plans.checkpoint import _transform_fingerprint
+
+        ns1, ns2 = {}, {}
+        exec("def tf(df):\n    f = lambda x: x + 1\n    return df\n", ns1)
+        exec("def tf(df):\n    f = lambda x: x + 2\n    return df\n", ns2)
+        assert _transform_fingerprint(ns1["tf"]) != \
+            _transform_fingerprint(ns2["tf"])

@@ -587,3 +587,43 @@ class TestSampleBudgetAndStrata:
         assert langs == {"en"}  # fr sampled at 0, others dropped entirely
         n_en = d.where("lang = 'en'").count()
         assert out.count() == n_en  # fraction 1.0 keeps every en row
+
+    def test_sample_to_budget_null_weights_count_as_zero(self, spark):
+        # ADVICE r3: a NULL weight must behave like F.sum's null-skip
+        # (weight 0), not poison the cumsum with NaN and silently drop
+        # every later row in the partition
+        from tsv_utils_spark.operators.sample import sample_to_budget
+
+        rows = [(i, None if i % 3 == 0 else 10) for i in range(60)]
+        df = spark.createDataFrame(rows, "id int, w int") \
+            .withColumn("__ord", F.md5(F.col("id").cast("string")))
+        for mat in (True, False):
+            got = sorted(r.id for r in
+                         sample_to_budget(df, "w", 105, "__ord",
+                                          materialize=mat).collect())
+            from pyspark.sql import Window
+            w = Window.orderBy("__ord").rowsBetween(
+                Window.unboundedPreceding, -1)
+            want = sorted(
+                r.id for r in
+                df.withColumn("__c", F.coalesce(
+                    F.sum("w").over(w), F.lit(0)))
+                  .where(F.col("__c") < 105).collect())
+            assert got == want, f"materialize={mat}"
+
+    def test_sample_to_budget_nomat_matches_and_skips_checkpoint(
+            self, tables, spark):
+        from tsv_utils_spark.operators.sample import sample_to_budget
+
+        d = tables["documents"].select("doc_id", "n_chars") \
+            .withColumn("__ord", F.md5(F.col("doc_id").cast("string")))
+        mat = sample_to_budget(d, "n_chars", 20_000, "__ord",
+                               materialize=True)
+        nomat = sample_to_budget(d, "n_chars", 20_000, "__ord",
+                                 materialize=False)
+        assert sorted(r.doc_id for r in mat.collect()) == \
+            sorted(r.doc_id for r in nomat.collect())
+        # the deterministic path must not materialize: no checkpointed
+        # RDD scan in its plan (the materialize path has one)
+        assert "ExistingRDD" in mat._jdf.queryExecution().toString()
+        assert "ExistingRDD" not in nomat._jdf.queryExecution().toString()

@@ -216,3 +216,53 @@ class TestArrowKernelEdges:
             e = exact.loc[g, "uc"]
             assert abs(ours.loc[g, "uc"] - e) / e < 0.05
             assert abs(theirs.loc[g, "uc"] - e) / e < 0.05
+
+
+class TestTypedCountMin:
+    def test_mode_over_date_column_finalizes_as_date(self, spark):
+        import datetime
+
+        df = spark.range(100).selectExpr(
+            "cast(id % 2 as string) as g",
+            "date_add(date'2024-01-01', cast(id % 3 as int)) as day")
+        # id%3==0 has 34 of 100 rows -> mode day = 2024-01-01 in g=0
+        out = sketch_agg(df, ["g"],
+                         [SketchSpec("cm", "day", "mode_day",
+                                     {"finalize": "mode", "typed": True,
+                                      "out_type": "date"}),
+                          SketchSpec("cm", "day", "mode_n",
+                                     {"finalize": "mode_count",
+                                      "typed": True})])
+        assert dict(out.dtypes)["mode_day"] == "date"
+        rows = {r["g"]: r for r in out.collect()}
+        exact = df.groupBy("g", "day").count().collect()
+        for g in ("0", "1"):
+            # CM tie-break: (-count, str(value)) — smallest day wins ties
+            best = sorted((r for r in exact if r["g"] == g),
+                          key=lambda r: (-r["count"], r["day"]))[0]
+            assert rows[g]["mode_day"] == best["day"]
+            assert rows[g]["mode_n"] == best["count"]
+            assert isinstance(rows[g]["mode_day"], datetime.date)
+
+    def test_timestamp_keys_hash_consistently(self):
+        # the update path hashes datetime64 batches; candidate re-score
+        # hashes Python datetime objects — both must hit the same cells
+        import datetime
+
+        import numpy as np
+
+        from tsv_utils_spark.sketches.hashing import hash64
+
+        dts = [datetime.datetime(2024, 3, 1, 12, 0, 0),
+               datetime.datetime(2024, 3, 2, 6, 30, 0)]
+        a = hash64(np.array(dts, dtype="datetime64[ns]"))
+        b = hash64(np.asarray(dts, dtype=object))
+        assert (a == b).all()
+        # dates hash as their midnight instant, alone or mixed
+        d = datetime.date(2024, 3, 1)
+        alone = hash64(np.asarray([d], dtype=object))
+        mixed = hash64(np.asarray(["x", d, None], dtype=object))
+        assert alone[0] == mixed[1]
+        midnight = hash64(np.asarray([datetime.datetime(2024, 3, 1)],
+                                     dtype=object))
+        assert alone[0] == midnight[0]

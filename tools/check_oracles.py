@@ -52,6 +52,17 @@ def normalize(rows, cols):
     return out
 
 
+SELF_VAL_FLAGS = ("within_bound", "planted_all_found", "found_planted")
+
+
+def self_val_failures(cols, rows) -> tuple[list[str], int]:
+    """(flag column names, count of non-True cells) for a rows-only
+    result. Any non-True cell in a flag column is a gate failure."""
+    flag_idx = [i for i, c in enumerate(cols) if c in SELF_VAL_FLAGS]
+    bad = sum(1 for r in rows for i in flag_idx if r[i] is not True)
+    return [cols[i] for i in flag_idx], bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -76,7 +87,26 @@ def main():
             print(f"FAIL {name}: spark error {str(e)[:200]}")
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(spark_rows)} rows)")
+            # No SQL oracle => the query must be SELF-VALIDATING: its
+            # result carries boolean exactness-evidence columns
+            # (within_bound / planted_all_found / found_planted), and
+            # this gate FAILS if any flag is false — an eps regression
+            # in KLL error or LSH recall exits non-zero instead of
+            # printing a green rows-only line.
+            flags, bad = self_val_failures(spark_cols, spark_rows)
+            if flags:
+                names = ", ".join(flags)
+                if bad:
+                    failures.append(
+                        (name, f"self-validation flag(s) {names} false "
+                               f"in {bad} cell(s)"))
+                    print(f"FAIL {name}: self-validation {names} false "
+                          f"in {bad} cell(s)")
+                else:
+                    print(f"ok   {name}: rows-only ({len(spark_rows)} "
+                          f"rows), self-validated [{names}] all true")
+            else:
+                print(f"ok   {name}: rows-only ({len(spark_rows)} rows)")
             continue
         try:
             tbl = con.execute(oracles[name]).arrow()

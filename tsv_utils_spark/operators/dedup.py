@@ -45,7 +45,9 @@ def decontaminate(train: DataFrame, heldout: DataFrame, content_col: str,
                   id_col: str, mode: str = "exact",
                   shingle_n: int = 3, threshold: float = 0.8,
                   normalize: bool = True,
-                  broadcast_heldout: bool = True) -> DataFrame:
+                  broadcast_heldout: bool = True,
+                  k: int = 128, bands: int = 16,
+                  max_bucket_size: int | None = 10_000) -> DataFrame:
     """Remove training documents that overlap a held-out/eval set — the
     standard leakage guard before LLM training.
 
@@ -60,9 +62,12 @@ def decontaminate(train: DataFrame, heldout: DataFrame, content_col: str,
       MinHash-LSH candidate machinery as minhash_dedup (train and
       heldout signatures share one banding; candidate pairs are
       verified with exact JVM Jaccard before anything is dropped).
-      Near mode requires NON-NEGATIVE INTEGER ids (the held-out side is
-      mapped to a disjoint negative id space); exact mode accepts any
-      id type.
+      ``k``/``bands``/``max_bucket_size`` tune the LSH S-curve and the
+      degenerate-bucket guard exactly as in ``minhash_dedup``.
+      Near mode requires NON-NEGATIVE INTEGER ids on BOTH sides (the
+      held-out side is mapped to a disjoint negative id space) — a
+      negative id raises at runtime, in-plan (no extra scan); exact
+      mode accepts any id type.
     """
     def key(df):
         c = F.col(content_col).cast("string")
@@ -79,40 +84,46 @@ def decontaminate(train: DataFrame, heldout: DataFrame, content_col: str,
         return clean
     if mode != "near":
         raise ValueError(f"bad mode {mode!r}")
-    id_type = dict(train.dtypes)[id_col]
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        raise ValueError(
-            f"decontaminate(mode='near') needs an integer id column to "
-            f"build the disjoint held-out id space; {id_col!r} is "
-            f"{id_type} — add a surrogate integer id or use mode='exact'")
+    for side, d in (("train", train), ("heldout", heldout)):
+        id_type = dict(d.dtypes)[id_col]
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"decontaminate(mode='near') needs integer id columns to "
+                f"build the disjoint held-out id space; {side}.{id_col!r} "
+                f"is {id_type} — add a surrogate integer id or use "
+                f"mode='exact'")
     # near-dup leakage: band both sides together, but only (train,
     # heldout) pairs matter — tag the side, self-band, keep cross pairs.
-    # heldout ids map to the NEGATIVE space (-id - 1): disjoint from any
-    # non-negative train id (enforced conceptually by the guard above —
-    # negative train ids would collide, hence the documented requirement)
-    tagged = clean.select(F.col(id_col), F.col(content_col)).withColumn(
+    # heldout ids map to the NEGATIVE space (-id - 1): disjoint from
+    # non-negative train ids. Non-negativity is enforced IN-PLAN (a
+    # negative id on either side raises inside the row pipeline — no
+    # extra scan), because a negative train id would silently collide
+    # with the mapped heldout space and corrupt the joins.
+    def checked(c, side):
+        return F.when(
+            c < 0,
+            F.raise_error(F.concat(
+                F.lit(f"decontaminate(mode='near'): negative {side} "
+                      f"{id_col} "),
+                c.cast("string"),
+                F.lit(" collides with the disjoint held-out id space")))
+        ).otherwise(c)
+
+    tagged = clean.select(
+        checked(F.col(id_col), "train").alias(id_col),
+        F.col(content_col)).withColumn(
         "__side", F.lit(0)).unionByName(
         heldout.select(
-            (-F.col(id_col) - 1).alias(id_col),
+            (-checked(F.col(id_col), "heldout") - 1).alias(id_col),
             F.col(content_col)).withColumn("__side", F.lit(1)))
     sigs = minhash_signatures(tagged, content_col, id_col,
-                              shingle_n=shingle_n)
+                              k=k, shingle_n=shingle_n)
     sides = tagged.select(id_col, "__side")
-
-    def to_bands(batches):
-        bands = 16
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            sig = np.stack(pdf["sig"].to_numpy()).astype(np.uint64)
-            bk = band_keys(sig, bands)
-            yield pd.DataFrame({
-                id_col: np.repeat(ids, bands),
-                "band": np.tile(np.arange(bands, dtype=np.int32), len(ids)),
-                "bucket": bk.reshape(-1).astype(np.int64)})
-
-    banded = sigs.mapInPandas(
-        to_bands, schema=f"{_field_ddl(tagged, id_col)}, band int, "
-                         f"bucket long").join(sides, id_col)
+    banded = _band_buckets(sigs, tagged, id_col, bands).join(sides, id_col)
+    # the same degenerate-bucket cap as minhash_dedup: a bucket of
+    # identically-signatured docs on both sides (empty/boilerplate)
+    # would otherwise blow up the cross join quadratically
+    banded = _cap_buckets(banded, max_bucket_size)
     a = banded.where(F.col("__side") == 0).select(
         F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.where(F.col("__side") == 1).select(
@@ -124,6 +135,43 @@ def decontaminate(train: DataFrame, heldout: DataFrame, content_col: str,
         .where(F.col("jaccard") >= threshold)
     leaked = verified.select(F.col("id_a").alias(id_col)).dropDuplicates()
     return clean.join(leaked, id_col, "left_anti")
+
+
+def _band_buckets(sigs: DataFrame, df: DataFrame, id_col: str,
+                  bands: int) -> DataFrame:
+    """Explode MinHash signatures to (id, band, bucket) rows — THE one
+    banding implementation, shared by minhash_dedup and
+    decontaminate(mode='near') so the LSH S-curve can never drift
+    between self-dedup and cross-corpus decontamination."""
+    def to_bands(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            sig = np.stack(pdf["sig"].to_numpy()).astype(np.uint64)
+            bk = band_keys(sig, bands)  # (n, bands)
+            n = len(ids)
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "bucket": bk.reshape(-1).astype(np.int64),
+            })
+
+    return sigs.mapInPandas(
+        to_bands, schema=f"{_field_ddl(df, id_col)}, band int, bucket long")
+
+
+def _cap_buckets(banded: DataFrame,
+                 max_bucket_size: int | None) -> DataFrame:
+    """Drop degenerate LSH buckets (standard guard: a bucket above the
+    cap means a quadratic candidate blowup; near-identical docs still
+    pair through their other, non-degenerate bands)."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy("band", "bucket") \
+        .agg(F.count(F.lit(1)).alias("__bn"))
+    return banded.join(
+        sizes.where(F.col("__bn") <= max_bucket_size)
+             .select("band", "bucket"),
+        ["band", "bucket"], "left_semi")
 
 
 def _tokenize_expr(col: str):
@@ -191,28 +239,8 @@ def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
       4. exact verify on the pair list (join back to content, Arrow batch)
     """
     sigs = minhash_signatures(df, content_col, id_col, k=k, shingle_n=shingle_n)
-
-    def to_bands(batches):
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            sig = np.stack(pdf["sig"].to_numpy()).astype(np.uint64)
-            bk = band_keys(sig, bands)  # (n, bands)
-            n = len(ids)
-            yield pd.DataFrame({
-                id_col: np.repeat(ids, bands),
-                "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                "bucket": bk.reshape(-1).astype(np.int64),
-            })
-
-    banded = sigs.mapInPandas(
-        to_bands, schema=f"{_field_ddl(df, id_col)}, band int, bucket long")
-    if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bucket") \
-            .agg(F.count(F.lit(1)).alias("__bn"))
-        banded = banded.join(
-            sizes.where(F.col("__bn") <= max_bucket_size)
-                 .select("band", "bucket"),
-            ["band", "bucket"], "left_semi")
+    banded = _cap_buckets(_band_buckets(sigs, df, id_col, bands),
+                          max_bucket_size)
 
     # candidate pairs: self-join within (band, bucket); min-id as left side
     a, b = banded.alias("a"), banded.alias("b")

@@ -180,24 +180,50 @@ def stratified_sample(df: DataFrame, strata_col: str,
 
 
 def sample_to_budget(df: DataFrame, weight_col: str, budget: float,
-                     order_col: str) -> DataFrame:
+                     order_col: str, materialize: bool = True) -> DataFrame:
     """Greedy prefix under a weight budget: order rows by ``order_col``
     (pass an md5 expression column name for a deterministic shuffle
     order) and keep every row whose cumulative weight BEFORE it is
     < budget — the boundary-crossing row is included. The standard
     token-budget corpus selection ("take ~1B tokens").
 
-    Distributed cumulative sum, no single-task window: range-partition
-    on the order column, per-partition weight totals -> driver offsets
-    (one tiny collect) -> per-partition running sums. Partitions whose
-    offset already exceeds the budget contribute nothing.
+    NULL weights count as 0 (matching ``F.sum``'s null-skipping
+    semantics) in both passes.
+
+    Two physical strategies, both a distributed cumulative sum with no
+    single-task window:
+
+    ``materialize=True`` (default, any orderable ``order_col``):
+    range-partition on the order column, localCheckpoint to pin the
+    RangePartitioner's sampled boundaries (the per-partition-sums job
+    and the final job are separate plan instantiations, so without the
+    pin each would re-sample boundaries and the driver offsets could
+    disagree with final placement), per-partition totals -> driver
+    offsets (one tiny collect) -> per-partition running sums.
+
+    ``materialize=False`` (for DETERMINISTIC uniformly-distributed
+    fixed-width lowercase-hex order columns — md5/sha2, the
+    deterministic-shuffle-order use case): no checkpoint, no sampling.
+    Rows are bucketed by the numeric value of the first 8 hex digits
+    (a monotone prefix of the lexicographic order), per-bucket totals
+    -> driver offsets in bucket order, then one ``applyInPandas`` per
+    bucket sorts by ``order_col`` and applies its offset. Placement is
+    a pure function of the data, so the two jobs can never disagree —
+    and at 100 TB nothing is materialized to executor-local storage.
     """
     spark = df.sparkSession
     parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    bcols = list(df.columns)
+    if not materialize:
+        # bucket count >> shuffle partitions: each live bucket becomes
+        # ONE applyInPandas group, so buckets bound the per-task memory
+        # (and dead buckets are pruned before the shuffle entirely)
+        buckets = min(1 << 20, max(2048, parts * 64))
+        return _budget_by_hex_buckets(df, weight_col, budget, order_col,
+                                      buckets, bcols)
     ranged = (df.repartitionByRange(parts, F.col(order_col))
                 .sortWithinPartitions(order_col)
-                .localCheckpoint(eager=True))  # two jobs must observe the
-    # SAME range placement (RangePartitioner samples are not rerun-stable)
+                .localCheckpoint(eager=True))
     sums = (ranged.withColumn("__pid", F.spark_partition_id())
                   .groupBy("__pid")
                   .agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
@@ -207,7 +233,6 @@ def sample_to_budget(df: DataFrame, weight_col: str, budget: float,
         offsets[r["__pid"]] = acc
         acc += r["__w"] or 0.0
     boff = spark.sparkContext.broadcast(offsets)
-    bcols = list(df.columns)
 
     def gen(batches):
         from pyspark import TaskContext
@@ -217,7 +242,7 @@ def sample_to_budget(df: DataFrame, weight_col: str, budget: float,
         for pdf in batches:
             if run >= budget:
                 return
-            w = pdf[weight_col].astype("float64").to_numpy()
+            w = pdf[weight_col].astype("float64").fillna(0.0).to_numpy()
             cum_excl = run + w.cumsum() - w
             run += float(w.sum())
             yield pdf[cum_excl < budget]
@@ -225,6 +250,46 @@ def sample_to_budget(df: DataFrame, weight_col: str, budget: float,
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in ranged.schema.fields)
     return ranged.mapInPandas(gen, schema=schema).select(*bcols)
+
+
+def _budget_by_hex_buckets(df: DataFrame, weight_col: str, budget: float,
+                           order_col: str, buckets: int,
+                           bcols: list) -> DataFrame:
+    """Deterministic no-materialize budget prefix (see sample_to_budget).
+
+    Bucket id = floor(int(order_col[:8], 16) * buckets / 2^32): monotone
+    in the lexicographic order of a fixed-width lowercase-hex column, so
+    global order == (bucket, order_col within bucket)."""
+    width = float(1 << 32) / buckets
+    bucket = (F.conv(F.substring(F.col(order_col), 1, 8), 16, 10)
+               .cast("long") / F.lit(width)).cast("int")
+    tagged = df.withColumn("__bkt", bucket)
+    sums = (tagged.groupBy("__bkt")
+                  .agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
+                  .orderBy("__bkt").collect())
+    offsets, acc = {}, 0.0
+    for r in sums:
+        offsets[r["__bkt"]] = acc
+        acc += r["__w"] or 0.0
+    boff = df.sparkSession.sparkContext.broadcast(offsets)
+    live = {b for b, off in offsets.items() if off < budget}
+
+    def per_bucket(pdf):
+        off = boff.value.get(int(pdf["__bkt"].iloc[0]), 0.0)
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        w = pdf[weight_col].astype("float64").fillna(0.0).to_numpy()
+        cum_excl = off + w.cumsum() - w
+        return pdf[cum_excl < budget].drop(columns=["__bkt"])
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    # buckets whose offset already exceeds the budget are filtered out
+    # BEFORE the shuffle — at 100 TB with a small budget this prunes
+    # nearly all of the input from the applyInPandas exchange
+    return (tagged.where(F.col("__bkt").isin(list(live)) if live
+                         else F.lit(False))
+                  .groupBy("__bkt").applyInPandas(per_bucket, schema=schema)
+                  .select(*bcols))
 
 
 def gen_random_inorder(df: DataFrame, weight: str | None = None,

@@ -204,9 +204,12 @@ def compression_ratio(df: DataFrame, col: str = "text",
                                 "raw_bytes": [len(b) for b in raws],
                                 "compression_ratio": ratios})
 
+    # id field keeps its REAL type (string/int/long ids all work) —
+    # same derivation as dedup._field_ddl
+    id_ddl = (f"{df.schema[id_col].name} "
+              f"{df.schema[id_col].dataType.simpleString()}")
     return df.select(id_col, col).mapInPandas(
-        gen, schema=f"{id_col} long, raw_bytes long, "
-                    f"compression_ratio double")
+        gen, schema=f"{id_ddl}, raw_bytes long, compression_ratio double")
 
 
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]

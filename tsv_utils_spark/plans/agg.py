@@ -118,9 +118,14 @@ class SketchSpec:
                     .otherwise(F.lit(0)).alias(name)
         if self.op in ("kll", "tdigest"):
             return c.try_cast("double").alias(name)
-        if self.op == "cm":
-            return c.cast("string").alias(name)
-        if self.op == "bloom":
+        if self.op in ("cm", "bloom"):
+            # typed=True keeps the NATIVE column type (date/timestamp/int)
+            # through the kernel — CountMin's candidate serde carries
+            # typed tags and hash64 canonicalizes datetimes to epoch-ns,
+            # so e.g. mode-over-a-day-column finalizes as a real DATE
+            # without a string pre-cast. Default stays the string cast.
+            if self.params.get("typed"):
+                return c.alias(name)
             return c.cast("string").alias(name)
         raise AssertionError(self.op)
 
@@ -160,6 +165,11 @@ class SketchSpec:
         if self.op == "cm":
             fin = self.params.get("finalize", "mode")
             if fin == "mode":
+                # typed mode: caller declares the finalized key type
+                # (must match the input column, e.g. 'date' for a
+                # to_date-derived day column)
+                if self.params.get("typed"):
+                    return [(self.out, self.params["out_type"])]
                 return [(self.out, "string")]
             if fin == "mode_count":
                 return [(self.out, "long")]
@@ -178,6 +188,8 @@ class SketchSpec:
             fin = self.params.get("finalize", "mode")
             m = sketch.mode()
             if fin == "mode":
+                if self.params.get("typed"):
+                    return [None if m is None else m[0]]
                 return [None if m is None else str(m[0])]
             if fin == "mode_count":
                 return [None if m is None else int(m[1])]
@@ -219,7 +231,9 @@ def _final_schema(df: DataFrame, group_by: list[str],
 
 
 _TYPE_MAP = {"double": T.DoubleType, "long": T.LongType,
-             "string": T.StringType, "binary": T.BinaryType}
+             "string": T.StringType, "binary": T.BinaryType,
+             "date": T.DateType, "timestamp": T.TimestampType,
+             "int": T.IntegerType}
 
 
 # ------------------------------------------------------------- the engine

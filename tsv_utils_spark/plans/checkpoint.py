@@ -67,6 +67,25 @@ def _is_bare_scan(df: DataFrame) -> bool:
         return False
 
 
+def _code_digest(code) -> bytes:
+    """Process-independent digest of a code object: bytecode plus consts,
+    with NESTED code objects (inner lambdas / genexprs / comprehensions)
+    replaced by their own recursive digest. repr() of a code object
+    embeds a per-process memory address ('<code object ... at 0x..>'),
+    which would change the fingerprint across interpreter restarts and
+    reject a legitimate resume of the identical job — exactly the
+    crash/restart case checkpoints exist for."""
+    import hashlib
+
+    h = hashlib.sha256(code.co_code)
+    for c in code.co_consts:
+        if hasattr(c, "co_code"):
+            h.update(_code_digest(c))
+        else:
+            h.update(repr(c).encode())
+    return h.digest()
+
+
 def _transform_fingerprint(transform) -> list | None:
     """Best-effort identity of the epoch transform: qualname PLUS a hash
     of the code object's bytecode and constants, so editing a lambda's
@@ -75,8 +94,6 @@ def _transform_fingerprint(transform) -> list | None:
     type-tagged form — never None, which is reserved for 'no transform'."""
     if transform is None:
         return None
-    import hashlib
-
     name = getattr(transform, "__qualname__", type(transform).__name__)
     code = getattr(transform, "__code__", None)
     if code is None and hasattr(transform, "func"):  # functools.partial
@@ -85,9 +102,7 @@ def _transform_fingerprint(transform) -> list | None:
                + repr((transform.args,
                        sorted(transform.keywords.items())
                        if transform.keywords else []))
-    body = hashlib.sha256(
-        code.co_code + repr(code.co_consts).encode()).hexdigest()[:16] \
-        if code is not None else None
+    body = _code_digest(code).hex()[:16] if code is not None else None
     return [name, body]
 
 

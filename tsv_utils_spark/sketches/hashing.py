@@ -16,6 +16,8 @@ All functions return ``np.uint64`` arrays.
 
 from __future__ import annotations
 
+import datetime
+
 import numpy as np
 import pandas as pd
 
@@ -51,7 +53,32 @@ def hash64(values) -> np.ndarray:
         # canonicalize -0.0 == 0.0, then hash the bit pattern
         arr = arr + 0.0
         return splitmix64(arr.view(np.uint64))
+    if arr.dtype.kind == "M":  # datetime64 (timestamp columns): epoch-ns
+        ns = arr.astype("datetime64[ns]").view(np.int64)
+        return splitmix64(ns.astype(np.uint64, copy=False))
     if arr.dtype.kind in ("O", "U", "S"):
+        if arr.dtype.kind == "O":
+            # CANONICAL datetime hashing, PER ELEMENT: the update path
+            # sees timestamps as datetime64 batches (kind 'M' above)
+            # while candidate re-scoring sees Python date/datetime
+            # objects — both must hash to the SAME epoch-ns cell or
+            # heavy_hitters' re-score reads the wrong counters. Checked
+            # per element (not by probing arr[0]) so a value's hash
+            # never depends on what else shares the array.
+            is_dt = np.fromiter(
+                (isinstance(v, (datetime.date, datetime.datetime))
+                 for v in arr.flat), dtype=bool, count=arr.size)
+            if is_dt.any():
+                out = np.empty(arr.size, dtype=np.uint64)
+                ns = pd.to_datetime(arr[is_dt]).values \
+                       .astype("datetime64[ns]").view(np.int64)
+                out[is_dt] = splitmix64(ns.astype(np.uint64, copy=False))
+                rest = arr[~is_dt]
+                if rest.size:
+                    out[~is_dt] = pd.util.hash_array(
+                        rest.astype(object), categorize=False) \
+                        .astype(np.uint64, copy=False)
+                return out
         h = pd.util.hash_array(arr.astype(object), categorize=False)
         return h.astype(np.uint64, copy=False)
     raise TypeError(f"unhashable dtype for sketch update: {arr.dtype}")
