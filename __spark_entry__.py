@@ -1811,6 +1811,35 @@ def q_code_cm_heavy_hitters(spark, sf_dir):
     return out.select("lang", "top_repo", "top_n")
 
 
+@q("code_cm_topk", _CODE_CTE + """
+SELECT lang, CAST(rank AS INTEGER) AS rank, repo, n FROM (
+  SELECT lang, repo, cnt AS n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, repo ASC) AS rank
+  FROM (SELECT lang, repo, count(*) AS cnt FROM code GROUP BY lang, repo)
+) WHERE rank <= 3
+""")
+def q_code_cm_topk(spark, sf_dir):
+    # count-min top-k heavy hitters per lang (the north star's
+    # 'heavy-hitter language/extension frequencies'): the sketch's
+    # candidate set finalizes as topk_json; parsed + exploded JVM-side
+    # into exact (lang, rank, repo, n) rows for the oracle
+    _ensure_shipped(spark)
+    c = _code_df(spark, sf_dir)
+    out = sketch_agg(c, ["lang"],
+                     [SketchSpec("cm", "repo", "top",
+                                 {"finalize": "topk_json", "k_top": 3})])
+    parsed = out.select(
+        "lang",
+        F.from_json("top", "array<array<string>>").alias("tk"))
+    return parsed.select(
+        "lang", F.posexplode("tk").alias("pos", "pair")) \
+        .select("lang",
+                (F.col("pos") + 1).cast("int").alias("rank"),
+                F.col("pair")[0].alias("repo"),
+                F.col("pair")[1].cast("long").alias("n"))
+
+
 @q("code_kll_sizes")  # no oracle: KLL is approximate by design — but
 # SELF-VALIDATING: each estimate's exact rank and a within-eps flag ride
 # along (n per group ~60 at sf0.01 < k=200, so the sketch is exact here)
@@ -1994,8 +2023,9 @@ def q_decontaminate_near(spark, sf_dir):
 # window.  Previously-witnessed queries follow in registration order.
 _FRONT_OF_BOARD = [
     # round-4 additions (never driver-run)
-    "code_hll_langs", "code_cm_heavy_hitters", "code_kll_sizes",
-    "code_bloom_anti", "code_salted_stats", "code_sha_invariant",
+    "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
+    "code_kll_sizes", "code_bloom_anti", "code_salted_stats",
+    "code_sha_invariant",
     "cm_mode_day", "text_compression", "join_bucketed",
     "sample_token_budget_nomat", "decontaminate_near",
     # round-3 additions that sat at positions 51-79 (never driver-run)

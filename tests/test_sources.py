@@ -200,3 +200,33 @@ class TestReadTable:
         import pytest
         with pytest.raises(ValueError, match="catalog"):
             read_table(spark, f"{sf}/region.parquet", snapshot_id=1)
+
+
+class TestCsvAutoMultiline:
+    def test_auto_picks_fast_path_on_newline_free_csv(self, spark, tmp_path):
+        from tsv_utils_spark.sources.tsv import csv_to_tsv_df
+
+        p = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [(i, f'va"l,{i}') for i in range(100)], ["id", "v"]) \
+            .write.mode("overwrite").option("header", True) \
+            .option("quote", '"').option("escape", '"').csv(p)
+        auto = csv_to_tsv_df(spark, p, multiline="auto")
+        slow = csv_to_tsv_df(spark, p, multiline=True)
+        assert sorted(map(tuple, auto.collect())) == \
+            sorted(map(tuple, slow.collect()))
+
+    def test_auto_falls_back_on_embedded_newlines(self, spark, tmp_path):
+        from tsv_utils_spark.sources.tsv import csv_to_tsv_df
+
+        p = str(tmp_path / "multi")
+        spark.createDataFrame(
+            [(1, "line one\nline two"), (2, "plain")], ["id", "v"]) \
+            .write.mode("overwrite").option("header", True) \
+            .option("quote", '"').option("escape", '"').csv(p)
+        out = {tuple(r) for r in
+               csv_to_tsv_df(spark, p, multiline="auto").collect()}
+        # the embedded newline is a REAL record boundary only under the
+        # multiline parser; auto must have chosen it (then TSV-normalized
+        # the newline to a space)
+        assert out == {("1", "line one line two"), ("2", "plain")}

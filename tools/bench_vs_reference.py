@@ -132,6 +132,8 @@ def main() -> None:
         "csv2tsv": (n_csv, lambda: noop(csv_to_tsv_df(spark, CSV_PATH))),
         "csv2tsv_singleline": (n_csv, lambda: noop(
             csv_to_tsv_df(spark, CSV_PATH, multiline=False))),
+        "csv2tsv_auto": (n_csv, lambda: noop(
+            csv_to_tsv_df(spark, CSV_PATH, multiline="auto"))),
     }
 
     out = {"cores": args.cores}

@@ -138,7 +138,7 @@ def read_tsv(spark: SparkSession, path: str, header: bool = True,
 
 def csv_to_tsv_df(spark: SparkSession, path: str, header: bool = True,
                   replacement: str = " ",
-                  multiline: bool = True) -> DataFrame:
+                  multiline: bool | str = True) -> DataFrame:
     """Read RFC-ish CSV and normalize every string cell to TSV-safe form
     (TAB/CR/LF -> ``replacement``), mirroring csv2tsv's state machine
     outcome (csv2tsv.d:505-640) declaratively.
@@ -148,7 +148,22 @@ def csv_to_tsv_df(spark: SparkSession, path: str, header: bool = True,
     file) and engages the slower parser. Pass ``multiline=False`` when
     the data is known newline-free: files split across tasks and the
     fast univocity path applies (~2x per core, parallel ingest).
+
+    ``multiline="auto"`` PROVES which case holds with a cheap parallel
+    pre-scan instead of guessing: a quoted field spans lines iff some
+    physical line has an odd number of double-quote characters, so if
+    every line's quote count is even the fast splittable parser is
+    byte-for-byte safe. One extra text scan (pure JVM, splittable) buys
+    the fast path on the overwhelmingly common newline-free corpus while
+    silently falling back to the exact multiline parser otherwise.
     """
+    if multiline == "auto":
+        odd_lines = (spark.read.text(path)
+                     .select(((F.length("value")
+                               - F.length(F.regexp_replace(
+                                   "value", '"', ""))) % 2).alias("odd"))
+                     .agg(F.sum("odd").alias("n")).first()["n"])
+        multiline = bool(odd_lines)
     df = (spark.read
           .option("header", header)
           .option("multiLine", multiline)
