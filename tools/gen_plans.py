@@ -61,6 +61,29 @@ NOTES = {
     "scrub_pii":
         "sequential regexp redaction chain: pure projection, the "
         "patterns replay identically in RE2 engines",
+    "code_salted_stats":
+        "explicit-salt two-level sketch plan over the Zipf repo key: "
+        "exactly two bounded-fan-out exchanges — (repo, salt) for the "
+        "partials, repo for the final merge; the mega-repo's rows "
+        "spread across all 16 salt reducers",
+    "cm_mode_day":
+        "typed count-min over a DATE key: to_date stays in the scan "
+        "projection, the Arrow kernel dictionary-encodes date32 "
+        "directly, and the finalized mode is a real DATE column",
+    "sample_token_budget_nomat":
+        "deterministic hex-bucket budget prefix: no localCheckpoint "
+        "scan (ExistingRDD) anywhere — placement is a pure function of "
+        "the data; dead buckets are filtered BEFORE the exchange",
+    "join_bucketed":
+        "bucketed big-big join (captured with auto-broadcast off — at "
+        "sf0.001 the dim is tiny enough that the planner correctly "
+        "prefers a broadcast join and auto-disables the bucketed scan): "
+        "SortMergeJoin with ZERO Exchange on either side",
+}
+
+# per-query session conf overrides for the capture (restored after)
+CONF_OVERRIDES = {
+    "join_bucketed": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
 }
 
 
@@ -76,10 +99,18 @@ def main() -> None:
         "tests/test_plans.py pins the load-bearing properties.",
     ]
     for name, note in NOTES.items():
-        df = qs[name](spark, SF)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
+        overrides = CONF_OVERRIDES.get(name, {})
+        saved = {k: spark.conf.get(k) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        try:
+            df = qs[name](spark, SF)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
         out += ["", f"## {name}", "", f"*{note}*", "", "```",
                 buf.getvalue().rstrip(), "```"]
     with open(os.path.join(os.path.dirname(os.path.dirname(
