@@ -1840,6 +1840,28 @@ def q_code_cm_topk(spark, sf_dir):
                 F.col("pair")[1].cast("long").alias("n"))
 
 
+@q("code_rollup_paths", _CODE_CTE + """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(DISTINCT path) AS BIGINT) AS paths
+FROM code GROUP BY lang
+""")
+def q_code_rollup_paths(spark, sf_dir):
+    # hierarchical sketch ROLLUP: per-(lang, module) blob table computed
+    # once, then re-aggregated to per-lang purely by merging blobs — the
+    # base table is never rescanned. Mergeability/associativity shown
+    # end-to-end against an exact oracle (HLL sparse-exact here).
+    _ensure_shipped(spark)
+    from tsv_utils_spark.plans import sketch_partials, sketch_rollup
+
+    c = _code_df(spark, sf_dir).withColumn(
+        "module", F.split(F.col("path"), "/")[1])
+    specs = [SketchSpec("hll", "path", "paths", {"sparse_limit": 1 << 18})]
+    fine = sketch_partials(c, ["lang", "module"], specs)
+    out = sketch_rollup(fine, ["lang"], specs, include_rows=True)
+    return out.select("lang", F.col("rows").alias("n_files"),
+                      F.col("paths").cast("long").alias("paths"))
+
+
 @q("code_kll_sizes")  # no oracle: KLL is approximate by design — but
 # SELF-VALIDATING: each estimate's exact rank and a within-eps flag ride
 # along (n per group ~60 at sf0.01 < k=200, so the sketch is exact here)
@@ -2024,8 +2046,8 @@ def q_decontaminate_near(spark, sf_dir):
 _FRONT_OF_BOARD = [
     # round-4 additions (never driver-run)
     "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
-    "code_kll_sizes", "code_bloom_anti", "code_salted_stats",
-    "code_sha_invariant",
+    "code_rollup_paths", "code_kll_sizes", "code_bloom_anti",
+    "code_salted_stats", "code_sha_invariant",
     "cm_mode_day", "text_compression", "join_bucketed",
     "sample_token_budget_nomat", "decontaminate_near",
     # round-3 additions that sat at positions 51-79 (never driver-run)

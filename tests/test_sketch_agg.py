@@ -266,3 +266,70 @@ class TestTypedCountMin:
         midnight = hash64(np.asarray([datetime.datetime(2024, 3, 1)],
                                      dtype=object))
         assert alone[0] == midnight[0]
+
+
+class TestSketchRollup:
+    def test_rollup_equals_direct_agg(self, spark):
+        from tsv_utils_spark.plans import (
+            SketchSpec,
+            sketch_agg,
+            sketch_partials,
+            sketch_rollup,
+        )
+
+        df = spark.range(20_000).selectExpr(
+            "cast(id % 4 as string) as a",
+            "cast(id % 40 as string) as b",
+            "id % 3000 as v")
+        specs = [SketchSpec("hll", "v", "uc", {"sparse_limit": 1 << 18}),
+                 SketchSpec("cm", "b", "top_b", {"finalize": "mode"})]
+        fine = sketch_partials(df, ["a", "b"], specs)
+        assert fine.count() == 40  # one blob row per (a, b)
+        rolled = sketch_rollup(fine, ["a"], specs, include_rows=True) \
+            .toPandas().set_index("a").sort_index()
+        direct = sketch_agg(df, ["a"], specs, include_rows=True) \
+            .toPandas().set_index("a").sort_index()
+        # sparse-exact HLL + low-collision CM: rollup == direct exactly
+        assert rolled["uc"].tolist() == direct["uc"].tolist()
+        assert rolled["top_b"].tolist() == direct["top_b"].tolist()
+        assert rolled["rows"].tolist() == direct["rows"].tolist() == \
+            [5000] * 4
+
+    def test_two_level_rollup_and_blob_form(self, spark):
+        from tsv_utils_spark.plans import (
+            SketchSpec,
+            sketch_agg,
+            sketch_partials,
+            sketch_rollup,
+        )
+
+        df = spark.range(6_000).selectExpr(
+            "cast(id % 2 as string) as a",
+            "cast(id % 6 as string) as b",
+            "cast(id % 12 as string) as c",
+            "id % 997 as v")
+        specs = [SketchSpec("hll", "v", "uc", {"sparse_limit": 1 << 18})]
+        fine = sketch_partials(df, ["a", "b", "c"], specs)
+        mid = sketch_rollup(fine, ["a", "b"], specs, finalize=False)
+        assert set(mid.columns) == {"a", "b", "__rows", "__blob_0"}
+        top = sketch_rollup(mid, ["a"], specs, include_rows=True)
+        direct = sketch_agg(df, ["a"], specs, include_rows=True)
+        got = {r["a"]: (r["rows"], r["uc"]) for r in top.collect()}
+        want = {r["a"]: (r["rows"], r["uc"]) for r in direct.collect()}
+        assert got == want
+
+    def test_rollup_rejects_unknown_keys(self, spark):
+        import pytest
+
+        from tsv_utils_spark.plans import (
+            SketchSpec,
+            sketch_partials,
+            sketch_rollup,
+        )
+
+        df = spark.range(100).selectExpr("cast(id % 2 as string) as a",
+                                         "id as v")
+        specs = [SketchSpec("hll", "v", "uc")]
+        fine = sketch_partials(df, ["a"], specs)
+        with pytest.raises(ValueError, match="not in blob table"):
+            sketch_rollup(fine, ["nope"], specs)

@@ -38,3 +38,39 @@ class TestSelfValidationGate:
     def test_no_flags_no_gate(self):
         flags, bad = self_val_failures(["a", "b"], [(1, 2)])
         assert flags == [] and bad == 0
+
+
+class TestDriverBoardRotation:
+    def test_front_of_board_names_resolve_and_fit_window(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entrymod
+
+        front = entrymod._FRONT_OF_BOARD
+        assert len(front) == len(set(front))  # no duplicates
+        missing = [n for n in front if n not in entrymod.QUERIES]
+        assert not missing, f"unregistered names in _FRONT_OF_BOARD: {missing}"
+        ordered = list(entrymod.queries())
+        # the driver samples the first 50 — every front name must land there
+        assert set(front) <= set(ordered[:50])
+        # and nothing is lost by the reorder
+        assert set(ordered) == set(entrymod.QUERIES)
+
+    def test_every_query_has_oracle_or_selfval_marker(self):
+        # contract hygiene: a query without a DuckDB oracle must be one
+        # of the documented self-validating approximates (its driver row
+        # carries an enforced flag column) — never silently ungated
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entrymod
+
+        selfval = {"kll_quantiles", "tdigest_quantiles", "minhash_near_dup",
+                   "simhash_near_dup", "ann_lsh", "ann_ivf",
+                   "embedding_near_dup", "code_kll_sizes",
+                   "text_compression", "decontaminate_near"}
+        no_oracle = set(entrymod.queries()) - set(entrymod.oracle_sql())
+        assert no_oracle == selfval, (
+            f"queries without oracle or self-val classification: "
+            f"{no_oracle ^ selfval}")

@@ -36,6 +36,8 @@ NUM_PATH = "/tmp/stats3_big.parquet"         # 24M x 3 numeric cols
 SRC_PATH = "/tmp/scaling_src.parquet"        # 24M source-code rows
 TSV_PATH = "/tmp/bench_ref_num.tsv"          # 7M-line TSV (reference shape)
 CSV_PATH = "/tmp/bench_ref_csv.csv"          # 7M-line CSV for csv2tsv
+CSV_ONE = "/tmp/bench_ref_csv_onefile.csv"   # same rows, ONE file: the
+# case where multiLine mode cannot split and auto's pre-scan pays
 
 
 def noop(df) -> None:
@@ -75,6 +77,10 @@ def ensure_inputs(spark) -> None:
          .select("repo", "path", "lang", "content_len").repartition(16)
          .write.mode("overwrite").option("header", True)
          .option("quote", '"').option("escape", '"').csv(CSV_PATH))
+    if not os.path.exists(os.path.join(CSV_ONE, "_SUCCESS")):
+        (spark.read.option("header", True).csv(CSV_PATH).coalesce(1)
+         .write.mode("overwrite").option("header", True)
+         .option("quote", '"').option("escape", '"').csv(CSV_ONE))
 
 
 def main() -> None:
@@ -134,6 +140,10 @@ def main() -> None:
             csv_to_tsv_df(spark, CSV_PATH, multiline=False))),
         "csv2tsv_auto": (n_csv, lambda: noop(
             csv_to_tsv_df(spark, CSV_PATH, multiline="auto"))),
+        "csv2tsv_onefile": (n_csv, lambda: noop(
+            csv_to_tsv_df(spark, CSV_ONE))),
+        "csv2tsv_onefile_auto": (n_csv, lambda: noop(
+            csv_to_tsv_df(spark, CSV_ONE, multiline="auto"))),
     }
 
     out = {"cores": args.cores}

@@ -329,6 +329,99 @@ def sketch_agg(df: DataFrame,
     return merged
 
 
+def sketch_partials(df: DataFrame,
+                    group_by: list[str],
+                    specs: list[SketchSpec],
+                    max_groups_per_partition: int = 100_000) -> DataFrame:
+    """Like ``sketch_agg`` but STOPS at merged-per-group BLOBS:
+    (keys..., __rows, __blob_0..N) with one row per group — a sketch
+    TABLE. Because every sketch merge is associative, these blobs can be
+    re-aggregated to any coarser key subset later with
+    ``sketch_rollup`` — no rescan of the base data. This is the
+    materialized-rollup pattern: compute per-(day, repo) once, answer
+    per-day / per-repo / global forever after from blobs.
+    """
+    group_by = list(group_by)
+    if not group_by:
+        raise ValueError("sketch_partials needs at least one group key "
+                         "(use sketch_agg for global aggregation)")
+    in_cols = [spec.input_expr(i) for i, spec in enumerate(specs)]
+    in_names = [f"__in_{i}" for i in range(len(specs))]
+    proj = df.select(*group_by, *in_cols)
+    partial_schema = _partial_schema(df, group_by, len(specs))
+    from tsv_utils_spark.plans.arrow_kernel import (
+        MAX_ARROW_KEYS,
+        make_arrow_partial_fn,
+    )
+
+    if len(group_by) <= MAX_ARROW_KEYS:
+        partials = proj.mapInArrow(
+            make_arrow_partial_fn(group_by, in_names, specs,
+                                  partial_schema, max_groups_per_partition),
+            schema=partial_schema)
+    else:
+        partials = proj.mapInPandas(
+            _make_partial_fn(group_by, in_names, specs, partial_schema,
+                             max_groups_per_partition),
+            schema=partial_schema)
+    return partials.groupBy(*group_by).applyInPandas(
+        _make_blob_merge_fn(group_by, specs, partial_schema),
+        schema=partial_schema)
+
+
+def sketch_rollup(blobs: DataFrame,
+                  group_by: list[str],
+                  specs: list[SketchSpec],
+                  include_rows: bool = False,
+                  finalize: bool = True) -> DataFrame:
+    """Re-aggregate a ``sketch_partials`` blob table to a COARSER key
+    subset and finalize (or keep blobs with ``finalize=False`` for a
+    further rollup level). Only blob rows shuffle — the base data is
+    never touched. Associativity (pytest-permuted) makes the answer
+    identical to a direct ``sketch_agg`` at the coarser keys, up to the
+    sketch's own error bound (exact in the HLL-sparse / CM-low-collision
+    regimes the oracled queries run in).
+    """
+    group_by = list(group_by)
+    missing = [k for k in group_by if k not in blobs.columns]
+    if missing:
+        raise ValueError(f"rollup keys {missing} not in blob table "
+                         f"columns {blobs.columns}")
+    if not finalize:
+        schema = T.StructType(
+            [blobs.schema[k] for k in group_by]
+            + [T.StructField("__rows", T.LongType())]
+            + [T.StructField(f"__blob_{i}", T.BinaryType())
+               for i in range(len(specs))])
+        return blobs.groupBy(*group_by).applyInPandas(
+            _make_blob_merge_fn(group_by, specs, schema), schema=schema)
+    final_schema = T.StructType(
+        [blobs.schema[k] for k in group_by]
+        + ([T.StructField("rows", T.LongType())] if include_rows else [])
+        + [T.StructField(name, _TYPE_MAP[typ]())
+           for spec in specs for name, typ in spec.output_fields()])
+    return blobs.groupBy(*group_by).applyInPandas(
+        _make_merge_fn(group_by, specs, final_schema, include_rows),
+        schema=final_schema)
+
+
+def _make_blob_merge_fn(group_by, specs, out_schema):
+    """Merge a group's partial blobs into ONE blob row per spec (the
+    blob-table form of _make_merge_fn)."""
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [pdf[k].iloc[0]] for k in group_by}
+        row["__rows"] = [int(pdf["__rows"].sum())]
+        for i, spec in enumerate(specs):
+            blobs_i = pdf[f"__blob_{i}"]
+            s = spec.deserialize(bytes(blobs_i.iloc[0]))
+            for b in blobs_i.iloc[1:]:
+                s.merge(spec.deserialize(bytes(b)))
+            row[f"__blob_{i}"] = [s.serialize()]
+        return pd.DataFrame(row)
+
+    return merge_fn
+
+
 def _make_partial_fn(group_by, in_names, specs, partial_schema, max_groups,
                      lineage_epoch: int | None = None,
                      max_buffered_rows: int = 4_000_000):
