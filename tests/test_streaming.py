@@ -150,3 +150,39 @@ class TestStreaming:
             .toPandas().set_index("l_returnflag").sort_index()
         assert (got["rows"] == batch["rows"]).all()
         assert (got["uc"] == batch["uc"]).all()
+
+    def test_committed_state_is_a_rollupable_sketch_table(
+            self, spark, tables, tmp_path):
+        # the state dir a streaming run commits is itself a blob table:
+        # read it back and sketch_rollup() answers coarser-grained
+        # questions without replaying the stream
+        import glob
+        import os
+
+        from tsv_utils_spark.plans import SketchSpec, sketch_rollup
+        from tsv_utils_spark.streaming.sketch_stream import make_processor
+
+        li = tables["lineitem"]
+        keys = ["l_returnflag", "l_linestatus"]
+        specs = [SketchSpec("hll", "l_partkey", "uc",
+                            {"sparse_limit": 1 << 18})]
+        state_dir = str(tmp_path / "state")
+        proc = make_processor(li, keys, specs, state_dir,
+                              str(tmp_path / "out"))
+        half = li.where("l_orderkey % 2 = 0")
+        rest = li.where("l_orderkey % 2 = 1")
+        proc(half, 0)
+        proc(rest, 1)
+        committed = sorted(glob.glob(os.path.join(state_dir,
+                                                  "state-epoch=*")))[-1]
+        state = spark.read.parquet(committed)
+        rolled = sketch_rollup(state, ["l_returnflag"], specs,
+                               include_rows=True)
+        got = {r["l_returnflag"]: (r["rows"], int(r["uc"]))
+               for r in rolled.collect()}
+        from pyspark.sql import functions as F
+        want = {r["l_returnflag"]: (r["n"], r["u"]) for r in
+                li.groupBy("l_returnflag").agg(
+                    F.count("*").alias("n"),
+                    F.countDistinct("l_partkey").alias("u")).collect()}
+        assert got == want

@@ -156,6 +156,12 @@ def csv_to_tsv_df(spark: SparkSession, path: str, header: bool = True,
     byte-for-byte safe. One extra text scan (pure JVM, splittable) buys
     the fast path on the overwhelmingly common newline-free corpus while
     silently falling back to the exact multiline parser otherwise.
+
+    Rule of thumb (measured, BENCH/BASELINE.md): use ``"auto"`` for
+    few-huge-files ingest (3.3x on one 7M-row file — multiline mode
+    cannot split a file); keep the default on many-file inputs, where
+    per-file parallelism already exists and the pre-scan is ~15% dead
+    weight.
     """
     if multiline == "auto":
         odd_lines = (spark.read.text(path)

@@ -35,29 +35,18 @@ from pyspark.sql import functions as F
 from tsv_utils_spark.plans.agg import (
     SketchSpec,
     _final_schema,
+    _make_blob_merge_fn,
     _make_merge_fn,
     _make_partial_fn,
     _partial_schema,
 )
 
-
-def _restate_fn(group_by, specs, partial_schema):
-    """Merge partial rows per key back into ONE partial row per key
-    (blobs stay blobs — this is the streaming state compaction)."""
-    import pandas as pd
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        row = {k: [pdf[k].iloc[0]] for k in group_by}
-        row["__rows"] = [int(pdf["__rows"].sum())]
-        for i, spec in enumerate(specs):
-            blobs = pdf[f"__blob_{i}"]
-            s = spec.deserialize(bytes(blobs.iloc[0]))
-            for b in blobs.iloc[1:]:
-                s.merge(spec.deserialize(bytes(b)))
-            row[f"__blob_{i}"] = [s.serialize()]
-        return pd.DataFrame(row)
-
-    return fn
+# streaming state compaction (merge partial rows per key back into ONE
+# blob row) is the same operation as a blob-table merge — one shared
+# implementation, so the committed state dirs are themselves valid
+# sketch TABLES: read them as parquet and sketch_rollup() to any coarser
+# key subset without replaying the stream.
+_restate_fn = _make_blob_merge_fn
 
 
 def make_processor(template_df: DataFrame,
