@@ -286,3 +286,30 @@ class TestTransformFingerprint:
         exec("def tf(df):\n    f = lambda x: x + 2\n    return df\n", ns2)
         assert _transform_fingerprint(ns1["tf"]) != \
             _transform_fingerprint(ns2["tf"])
+
+    def test_fingerprint_stable_across_hash_seeds(self):
+        # frozenset consts (set-literal membership tests) repr in
+        # string-hash order; the fingerprint must not depend on
+        # PYTHONHASHSEED or a restart rejects a legitimate resume
+        import subprocess
+        import sys
+
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prog = (
+            f"import sys; sys.path.insert(0, {repo!r})\n"
+            "from tsv_utils_spark.plans.checkpoint import "
+            "_transform_fingerprint\n"
+            "def tf(df):\n"
+            "    f = lambda x: x in {'alpha', 'beta', 'gamma', 'delta'}\n"
+            "    return df\n"
+            "print(_transform_fingerprint(tf)[1])\n")
+        outs = set()
+        for seed in ("1", "2", "3"):
+            r = subprocess.run([sys.executable, "-c", prog],
+                               capture_output=True, text=True,
+                               env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"})
+            assert r.returncode == 0, r.stderr
+            outs.add(r.stdout.strip())
+        assert len(outs) == 1, f"fingerprint varies with hash seed: {outs}"

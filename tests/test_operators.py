@@ -627,3 +627,15 @@ class TestSampleBudgetAndStrata:
         # RDD scan in its plan (the materialize path has one)
         assert "ExistingRDD" in mat._jdf.queryExecution().toString()
         assert "ExistingRDD" not in nomat._jdf.queryExecution().toString()
+
+    def test_sample_to_budget_nomat_rejects_null_order(self, spark):
+        from tsv_utils_spark.operators.sample import sample_to_budget
+
+        df = spark.createDataFrame(
+            [(1, 10, "aa" * 16), (2, 10, None)],
+            "id int, w int, __ord string")
+        with pytest.raises(Exception, match="NULL __ord"):
+            # the per-bucket offsets job inside the call already scans
+            # the data, so the in-plan guard fires here
+            sample_to_budget(df, "w", 100, "__ord",
+                             materialize=False).collect()

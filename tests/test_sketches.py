@@ -381,3 +381,44 @@ class TestHashing:
         tops = (h >> np.uint64(56)).astype(np.int64)
         counts = np.bincount(tops, minlength=256)
         assert counts.std() / counts.mean() < 0.3
+
+
+class TestTimezoneCanonicalization:
+    def test_aware_and_naive_merge_to_one_candidate(self):
+        # Arrow kernel yields tz-aware datetimes, pandas kernel naive
+        # datetime64 — the same instant must be one candidate/cell
+        import datetime
+
+        import numpy as np
+
+        from tsv_utils_spark.sketches.countmin import CountMin
+
+        aware = datetime.datetime(2024, 3, 1, 12, 0,
+                                  tzinfo=datetime.timezone.utc)
+        shifted = datetime.datetime(2024, 3, 1, 14, 0,
+                                    tzinfo=datetime.timezone(
+                                        datetime.timedelta(hours=2)))
+        naive = datetime.datetime(2024, 3, 1, 12, 0)
+        a = CountMin(depth=3, width=1 << 10)
+        a.update(np.asarray([aware] * 4, dtype=object))
+        b = CountMin(depth=3, width=1 << 10)
+        b.update(np.asarray([naive] * 3 + [shifted] * 2, dtype=object))
+        a.merge(b)
+        assert a.count(naive) == 9 == a.count(aware)
+        assert a.mode() == (naive, 9)
+        # serde round-trip keeps the canonical key
+        c = CountMin.deserialize(a.serialize())
+        assert c.mode() == (naive, 9)
+
+    def test_mixed_aware_naive_array_hashes_without_crash(self):
+        import datetime
+
+        import numpy as np
+
+        from tsv_utils_spark.sketches.hashing import hash64
+
+        aware = datetime.datetime(2024, 3, 1, 12, 0,
+                                  tzinfo=datetime.timezone.utc)
+        naive = datetime.datetime(2024, 3, 1, 12, 0)
+        h = hash64(np.asarray([aware, naive, "x", None], dtype=object))
+        assert h[0] == h[1]

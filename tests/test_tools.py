@@ -2,9 +2,13 @@
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (_REPO, os.path.join(_REPO, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
 
 from check_oracles import self_val_failures  # noqa: E402
 
@@ -39,12 +43,19 @@ class TestSelfValidationGate:
         flags, bad = self_val_failures(["a", "b"], [(1, 2)])
         assert flags == [] and bad == 0
 
+    def test_empty_result_with_flag_columns_fails(self):
+        # zero rows = zero witnesses: a recall regression that removes
+        # nothing must not print green
+        flags, bad = self_val_failures(["doc_id", "planted_all_found"], [])
+        assert flags == ["planted_all_found"] and bad == 1
+
+    def test_empty_result_without_flags_passes(self):
+        flags, bad = self_val_failures(["a", "b"], [])
+        assert flags == [] and bad == 0
+
 
 class TestDriverBoardRotation:
     def test_front_of_board_names_resolve_and_fit_window(self):
-        import sys
-
-        sys.path.insert(0, "/root/repo")
         import __spark_entry__ as entrymod
 
         front = entrymod._FRONT_OF_BOARD
@@ -61,9 +72,6 @@ class TestDriverBoardRotation:
         # contract hygiene: a query without a DuckDB oracle must be one
         # of the documented self-validating approximates (its driver row
         # carries an enforced flag column) — never silently ungated
-        import sys
-
-        sys.path.insert(0, "/root/repo")
         import __spark_entry__ as entrymod
 
         selfval = {"kll_quantiles", "tdigest_quantiles", "minhash_near_dup",

@@ -56,9 +56,14 @@ SELF_VAL_FLAGS = ("within_bound", "planted_all_found", "found_planted")
 
 
 def self_val_failures(cols, rows) -> tuple[list[str], int]:
-    """(flag column names, count of non-True cells) for a rows-only
-    result. Any non-True cell in a flag column is a gate failure."""
+    """(flag column names, count of failing cells) for a rows-only
+    result. Any non-True cell in a flag column fails — and so does an
+    EMPTY result that declares flag columns: zero rows means zero
+    witnesses (e.g. a recall regression that removes nothing would
+    otherwise print green for the worst possible failure)."""
     flag_idx = [i for i, c in enumerate(cols) if c in SELF_VAL_FLAGS]
+    if flag_idx and not rows:
+        return [cols[i] for i in flag_idx], 1  # vacuously-true guard
     bad = sum(1 for r in rows for i in flag_idx if r[i] is not True)
     return [cols[i] for i in flag_idx], bad
 

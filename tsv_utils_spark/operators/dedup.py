@@ -64,6 +64,14 @@ def decontaminate(train: DataFrame, heldout: DataFrame, content_col: str,
       verified with exact JVM Jaccard before anything is dropped).
       ``k``/``bands``/``max_bucket_size`` tune the LSH S-curve and the
       degenerate-bucket guard exactly as in ``minhash_dedup``.
+      SAFETY NOTE on the cap: a doc population sharing one signature in
+      EVERY band (>cap near-identical boilerplate docs whose normalized
+      text still differs, so the exact pass misses them) loses all its
+      candidate pairs when its buckets are dropped — those leaks stay
+      in the training set. For safety-critical decontamination of
+      boilerplate-heavy corpora pass ``max_bucket_size=None`` (paying
+      the quadratic candidate cost for degenerate buckets) or dedupe
+      the corpus first.
       Near mode requires NON-NEGATIVE INTEGER ids on BOTH sides (the
       held-out side is mapped to a disjoint negative id space) — a
       negative id raises at runtime, in-plan (no extra scan); exact

@@ -261,7 +261,18 @@ def _budget_by_hex_buckets(df: DataFrame, weight_col: str, budget: float,
     in the lexicographic order of a fixed-width lowercase-hex column, so
     global order == (bucket, order_col within bucket)."""
     width = float(1 << 32) / buckets
-    bucket = (F.conv(F.substring(F.col(order_col), 1, 8), 16, 10)
+    # a NULL order value has no position in the prefix order: it would
+    # get a NULL bucket, be charged against the offsets, then silently
+    # vanish from the isin() pruning — raise in-plan instead (the
+    # materialize path sorts NULLs like any other value, so the two
+    # strategies would otherwise diverge)
+    ord_checked = F.when(
+        F.col(order_col).isNull(),
+        F.raise_error(F.lit(
+            f"sample_to_budget(materialize=False): NULL {order_col} has "
+            f"no deterministic position — filter NULLs out or use "
+            f"materialize=True"))).otherwise(F.col(order_col))
+    bucket = (F.conv(F.substring(ord_checked, 1, 8), 16, 10)
                .cast("long") / F.lit(width)).cast("int")
     tagged = df.withColumn("__bkt", bucket)
     sums = (tagged.groupBy("__bkt")

@@ -204,12 +204,12 @@ def compression_ratio(df: DataFrame, col: str = "text",
                                 "raw_bytes": [len(b) for b in raws],
                                 "compression_ratio": ratios})
 
-    # id field keeps its REAL type (string/int/long ids all work) —
-    # same derivation as dedup._field_ddl
-    id_ddl = (f"{df.schema[id_col].name} "
-              f"{df.schema[id_col].dataType.simpleString()}")
+    # id field keeps its REAL type (string/int/long ids all work)
+    from tsv_utils_spark.operators.dedup import _field_ddl
+
     return df.select(id_col, col).mapInPandas(
-        gen, schema=f"{id_ddl}, raw_bytes long, compression_ratio double")
+        gen, schema=f"{_field_ddl(df, id_col)}, raw_bytes long, "
+                    f"compression_ratio double")
 
 
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -169,7 +169,13 @@ class SketchSpec:
                 # (must match the input column, e.g. 'date' for a
                 # to_date-derived day column)
                 if self.params.get("typed"):
-                    return [(self.out, self.params["out_type"])]
+                    out_type = self.params.get("out_type")
+                    if out_type not in _TYPE_MAP:
+                        raise ValueError(
+                            f"SketchSpec(cm, typed=True, finalize='mode') "
+                            f"needs params['out_type'] in "
+                            f"{sorted(_TYPE_MAP)}; got {out_type!r}")
+                    return [(self.out, out_type)]
                 return [(self.out, "string")]
             if fin == "mode_count":
                 return [(self.out, "long")]

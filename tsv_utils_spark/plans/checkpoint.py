@@ -67,22 +67,34 @@ def _is_bare_scan(df: DataFrame) -> bool:
         return False
 
 
+def _const_repr(c) -> str:
+    """Process-independent repr of a code constant. Two traps:
+    - code objects repr with a per-process memory address;
+    - frozensets (compiled from set-literal membership tests like
+      ``x in {'a','b'}``) repr in string-hash order, which varies with
+      PYTHONHASHSEED across interpreter restarts.
+    Both would change the job fingerprint across restarts and reject a
+    legitimate resume — exactly the crash/restart case checkpoints
+    exist for."""
+    if hasattr(c, "co_code"):
+        return _code_digest(c).hex()
+    if isinstance(c, frozenset):
+        return "frozenset{" + ",".join(sorted(_const_repr(e)
+                                              for e in c)) + "}"
+    if isinstance(c, tuple):
+        return "(" + ",".join(_const_repr(e) for e in c) + ")"
+    return repr(c)
+
+
 def _code_digest(code) -> bytes:
-    """Process-independent digest of a code object: bytecode plus consts,
-    with NESTED code objects (inner lambdas / genexprs / comprehensions)
-    replaced by their own recursive digest. repr() of a code object
-    embeds a per-process memory address ('<code object ... at 0x..>'),
-    which would change the fingerprint across interpreter restarts and
-    reject a legitimate resume of the identical job — exactly the
-    crash/restart case checkpoints exist for."""
+    """Process-independent digest of a code object: bytecode plus
+    canonicalized consts, with NESTED code objects replaced by their own
+    recursive digest (see _const_repr for why repr() alone is unsafe)."""
     import hashlib
 
     h = hashlib.sha256(code.co_code)
     for c in code.co_consts:
-        if hasattr(c, "co_code"):
-            h.update(_code_digest(c))
-        else:
-            h.update(repr(c).encode())
+        h.update(_const_repr(c).encode())
     return h.digest()
 
 

@@ -139,9 +139,15 @@ class CountMin:
         for d in range(self.depth):
             np.add.at(self.table[d], idx[d], cnt)
         self.n += int(cnt.sum())
-        # track candidates
+        # track candidates — keys canonicalized (tz-aware datetimes ->
+        # naive UTC) so partials from the Arrow kernel (aware) and the
+        # pandas/salt kernels (naive) merge into ONE candidate per
+        # instant instead of splitting its counts
+        from tsv_utils_spark.sketches.hashing import canon_datetime
+
         est = self.table[np.arange(self.depth)[:, None], idx].min(axis=0)
         for v, e in zip(uniq.tolist(), est.tolist()):
+            v = canon_datetime(v)
             self.candidates[v] = max(self.candidates.get(v, 0), int(e))
         self._truncate()
 

@@ -26,6 +26,17 @@ _SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+def canon_datetime(v):
+    """Canonical naive-UTC form of a datetime-like value. The Arrow
+    kernel materializes Spark timestamps as TZ-AWARE datetimes
+    (as_py on timestamp[..., tz=UTC]) while the pandas/salt kernels see
+    NAIVE datetime64 — the same instant must be ONE candidate key and
+    ONE hash cell, whichever kernel produced it."""
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain constant set)."""
     x = x.astype(np.uint64, copy=True)
@@ -70,8 +81,13 @@ def hash64(values) -> np.ndarray:
                  for v in arr.flat), dtype=bool, count=arr.size)
             if is_dt.any():
                 out = np.empty(arr.size, dtype=np.uint64)
-                ns = pd.to_datetime(arr[is_dt]).values \
-                       .astype("datetime64[ns]").view(np.int64)
+                # per-element ns conversion (NOT pd.to_datetime, which
+                # raises on arrays mixing tz-aware and naive values —
+                # the Arrow kernel yields aware datetimes for Spark
+                # timestamps while the pandas kernel yields naive ones)
+                ns = np.array([np.datetime64(canon_datetime(v), "ns")
+                               for v in arr[is_dt]],
+                              dtype="datetime64[ns]").view(np.int64)
                 out[is_dt] = splitmix64(ns.astype(np.uint64, copy=False))
                 rest = arr[~is_dt]
                 if rest.size:
