@@ -2036,6 +2036,86 @@ def q_decontaminate_near(spark, sf_dir):
                               F.lit(n_found >= len(planted)))
 
 
+@q("text_boilerplate", r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN coalesce(text, '') || chr(10) ||
+                   'Subscribe to our newsletter!'
+              ELSE coalesce(text, '') END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug
+), lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM base, UNNEST(range(1, len(ls) + 1)) AS t(i)
+), hot AS (
+  SELECT lower(trim(line)) AS norm FROM lines
+  WHERE lower(trim(line)) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+)
+SELECT a.doc_id, coalesce(r.text, '') AS text
+FROM aug a LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM lines WHERE lower(trim(line)) NOT IN (SELECT norm FROM hot)
+  GROUP BY doc_id
+) r USING (doc_id)
+""")
+def q_text_boilerplate(spark, sf_dir):
+    # C4-style boilerplate line removal: a footer line is planted into
+    # every 5th document (100 docs >> min_docs) and must come back out;
+    # organic lines shared by >= 3 docs are removed identically on both
+    # sides. Byte-exact reassembled text is the gate.
+    from tsv_utils_spark.operators.text import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.coalesce(F.col("text"), F.lit("")),
+                        F.lit("\nSubscribe to our newsletter!")))
+         .otherwise(F.coalesce(F.col("text"), F.lit(""))).alias("text"))
+    return remove_boilerplate_lines(d, "text", "doc_id", min_docs=3)
+
+
+@q("text_token_freq", r"""
+WITH toks AS (
+  SELECT doc_id, t.tok FROM (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                 '[ \t\n\f\r]+') AS ts
+    FROM documents
+  ), UNNEST(ts) AS t(tok) WHERE t.tok <> ''
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), topk AS (
+  SELECT tok FROM vocab ORDER BY cnt DESC, tok ASC LIMIT 10
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(cnt) AS BIGINT) AS sum_token_freq,
+         CAST(sum(CASE WHEN tok IN (SELECT tok FROM topk)
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+  FROM toks JOIN vocab USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.sum_token_freq, 0) AS BIGINT) AS sum_token_freq,
+       CAST(p.sum_token_freq AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+           AS mean_token_freq,
+       CAST(p.n_oov AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS oov_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+""")
+def q_text_token_freq(spark, sf_dir):
+    # corpus-frequency quality signals, integer-exact until ONE final
+    # IEEE divide per column (the rounding-contract-safe shape): mean
+    # corpus frequency of a doc's tokens + top-K vocab coverage.
+    # top_k=10 < the corpus's 31 distinct tokens, so the OOV path is
+    # genuinely exercised (top_k >= vocab would make oov_frac vacuous)
+    from tsv_utils_spark.operators.text import token_frequency_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return token_frequency_stats(d, "text", "doc_id", top_k=10)
+
+
 # =====================================================================
 # The driver's per-round correctness board samples the FIRST 50 entries
 # of queries().  Registration order above is thematic; the dict returned
@@ -2048,7 +2128,8 @@ _FRONT_OF_BOARD = [
     "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
     "code_rollup_paths", "code_kll_sizes", "code_bloom_anti",
     "code_salted_stats", "code_sha_invariant",
-    "cm_mode_day", "text_compression", "join_bucketed",
+    "cm_mode_day", "text_compression", "text_boilerplate",
+    "text_token_freq", "join_bucketed",
     "sample_token_budget_nomat", "decontaminate_near",
     # round-3 additions that sat at positions 51-79 (never driver-run)
     "text_profile", "scrub_pii", "extract_urls", "decontaminate_exact",

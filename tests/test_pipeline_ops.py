@@ -753,3 +753,49 @@ class TestDecontaminateHardening:
         # exact pass removes all identical boilerplate before LSH; the
         # capped near pass then has nothing degenerate left to explode
         assert out == {99}
+
+
+class TestBoilerplateAndTokenFreq:
+    def test_boilerplate_lines_removed_in_order(self, spark):
+        from tsv_utils_spark.operators.text import remove_boilerplate_lines
+
+        footer = "subscribe now"
+        docs = [(i, f"unique line {i}\n{footer}\nsecond unique {i}")
+                for i in range(4)] + [(9, "no footer here")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r["doc_id"]: r["text"] for r in
+               remove_boilerplate_lines(df, "text", "doc_id",
+                                        min_docs=3).collect()}
+        for i in range(4):
+            assert out[i] == f"unique line {i}\nsecond unique {i}"
+        assert out[9] == "no footer here"
+
+    def test_all_boilerplate_doc_survives_as_empty(self, spark):
+        from tsv_utils_spark.operators.text import remove_boilerplate_lines
+
+        df = spark.createDataFrame(
+            [(i, "same line") for i in range(5)], ["doc_id", "text"])
+        out = remove_boilerplate_lines(df, "text", "doc_id", min_docs=3)
+        rows = out.collect()
+        assert len(rows) == 5  # row set stable
+        assert all(r["text"] == "" for r in rows)
+
+    def test_token_frequency_stats_exact(self, spark):
+        from tsv_utils_spark.operators.text import token_frequency_stats
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c"), (3, "   "), (4, None)],
+            ["doc_id", "text"])
+        # corpus counts: a=3, b=1, c=1; top_k=1 -> {a}
+        out = {r["doc_id"]: r for r in
+               token_frequency_stats(df, "text", "doc_id",
+                                     top_k=1).collect()}
+        assert (out[1]["n_tokens"], out[1]["sum_token_freq"]) == (3, 7)
+        assert out[1]["mean_token_freq"] == 7 / 3
+        assert out[1]["oov_frac"] == 1 / 3          # 'b' is OOV
+        assert (out[2]["n_tokens"], out[2]["sum_token_freq"]) == (2, 4)
+        assert out[2]["oov_frac"] == 0.5            # 'c' is OOV
+        for empty in (3, 4):
+            assert out[empty]["n_tokens"] == 0
+            assert out[empty]["sum_token_freq"] == 0
+            assert out[empty]["mean_token_freq"] is None

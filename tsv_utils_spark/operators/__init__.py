@@ -22,7 +22,9 @@ from tsv_utils_spark.operators.text import (
     compression_ratio,
     extract_urls,
     gopher_quality,
+    remove_boilerplate_lines,
     scrub_pii,
+    token_frequency_stats,
     top_ngram_stats,
 )
 from tsv_utils_spark.operators.timeseries import session_stats, sessionize, windowed_agg
@@ -38,7 +40,8 @@ __all__ = [
     "exact_dedup", "minhash_dedup", "simhash_dedup", "decontaminate",
     "bloom_semi_join", "bloom_anti_join", "salted_join",
     "analyze", "gopher_quality", "top_ngram_stats", "scrub_pii",
-    "extract_urls", "compression_ratio",
+    "extract_urls", "compression_ratio", "remove_boilerplate_lines",
+    "token_frequency_stats",
     "sessionize", "session_stats", "windowed_agg",
     "image_features", "audio_features", "resize_images",
 ]

@@ -352,3 +352,100 @@ def analyze(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFra
         lang_id(col).alias("lang_guess"),
         fingerprint(col).alias("fingerprint"),
     )
+
+
+def remove_boilerplate_lines(df: DataFrame, col: str = "text",
+                             id_col: str = "doc_id",
+                             min_docs: int = 3,
+                             keep_empty_lines: bool = True) -> DataFrame:
+    """C4-style boilerplate line removal: drop every line whose
+    normalized form (lower + trim) appears in >= ``min_docs`` DISTINCT
+    documents (navigation chrome, cookie banners, license headers),
+    then reassemble each document from its surviving lines in original
+    order. Returns (id_col, text) with the cleaned text.
+
+    Scale shape: explode to lines (narrow), ONE count-distinct shuffle
+    on the normalized line, anti-join (AQE may broadcast the hot-line
+    set — it is tiny by construction), one groupBy(id) to reassemble.
+    The full text column never shuffles twice.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(col), F.lit("")), "\n"))
+         .alias("__pos", "__line"))
+    norm = F.lower(F.trim(F.col("__line")))
+    tagged = lines.withColumn("__norm", norm)
+    hot = (tagged.where(F.col("__norm") != "")
+                 .groupBy("__norm")
+                 .agg(F.countDistinct(id_col).alias("__nd"))
+                 .where(F.col("__nd") >= min_docs)
+                 .select("__norm"))
+    survivors = tagged.join(hot, "__norm", "left_anti")
+    if not keep_empty_lines:
+        survivors = survivors.where(F.col("__norm") != "")
+    rebuilt = (survivors.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("__pos"), F.col("__line")))),
+                       lambda s: s["__line"]),
+                   "\n").alias(col)))
+    # docs whose every line was boilerplate drop out of the groupBy —
+    # restore them with empty text so the row set is stable
+    return df.select(id_col).join(rebuilt, id_col, "left") \
+        .select(id_col, F.coalesce(F.col(col), F.lit("")).alias(col))
+
+
+def token_frequency_stats(df: DataFrame, col: str = "text",
+                          id_col: str = "doc_id",
+                          top_k: int = 1000) -> DataFrame:
+    """Corpus-frequency quality signals per document, integer-exact:
+
+    - ``n_tokens``      — whitespace tokens;
+    - ``sum_token_freq``— sum over the doc's tokens of each token's
+      CORPUS occurrence count (a long; high = common/boilerplate-ish
+      wording, low = rare/unique wording);
+    - ``mean_token_freq`` — sum_token_freq / n_tokens (ONE final IEEE
+      divide of two exact integers — bit-identical across engines);
+    - ``oov_frac``      — fraction of tokens outside the corpus top-K
+      vocabulary (by count desc, token asc) — the vocab-coverage signal
+      used when filtering to a tokenizer's effective vocabulary.
+
+    Scale shape: one explode + ONE token-count shuffle builds the
+    vocab; the top-K set is broadcast; per-doc aggregation is a single
+    groupBy(id). All comparisons are on integers until the final
+    divides.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.coalesce(F.col(col),
+                                                    F.lit("")))),
+                          "[ \t\n\f\r]+")).alias("__tok")) \
+        .where(F.col("__tok") != "")
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    topk = (vocab.orderBy(F.col("__cnt").desc(), F.col("__tok").asc())
+                 .limit(top_k)
+                 .select("__tok", F.lit(1).alias("__in_topk")))
+    scored = (toks.join(vocab, "__tok")
+                  .join(F.broadcast(topk), "__tok", "left"))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__cnt").alias("sum_token_freq"),
+        F.sum(F.when(F.col("__in_topk").isNull(), 1)
+               .otherwise(0)).alias("__n_oov"))
+    out = per_doc.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("sum_token_freq").cast("long").alias("sum_token_freq"),
+        (F.col("sum_token_freq").cast("double")
+         / F.col("n_tokens").cast("double")).alias("mean_token_freq"),
+        (F.col("__n_oov").cast("double")
+         / F.col("n_tokens").cast("double")).alias("oov_frac"))
+    # empty/whitespace-only docs have no token rows — restore with zeros
+    return df.select(id_col).join(out, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.col("sum_token_freq"),
+                   F.lit(0).cast("long")).alias("sum_token_freq"),
+        F.col("mean_token_freq"),
+        F.col("oov_frac"))
