@@ -2036,6 +2036,58 @@ def q_decontaminate_near(spark, sf_dir):
                               F.lit(n_found >= len(planted)))
 
 
+@q("ngram_contamination", r"""
+WITH span AS (
+  SELECT substr(coalesce(text, ''), 1, 120) AS sp FROM documents
+  WHERE doc_id = 0
+), aug AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 7 = 0 AND d.doc_id >= 3
+              THEN coalesce(d.text, '') || ' ' || span.sp
+              ELSE coalesce(d.text, '') END AS text
+  FROM documents d, span
+), toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM aug
+), sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                ELSE [array_to_string(t[i:i+4], ' ')
+                      for i in range(1, len(t) - 3)] END) AS s
+  FROM toks
+), hg AS (
+  SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id < 3)
+), tr AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+)
+SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared_ngrams
+FROM tr WHERE g IN (SELECT g FROM hg) GROUP BY doc_id
+""")
+def q_ngram_contamination(spark, sf_dir):
+    # GPT-3-style n-gram contamination flagging (5-grams for the small
+    # corpus; 13 is the published production n). heldout = docs 0-2; a
+    # 120-char quote of doc 0 is PLANTED into every 7th train doc —
+    # exactly the single-quoted-eval-question case doc-level LSH can
+    # miss — and each planted doc must be flagged with the same shared
+    # count the oracle derives.
+    from tsv_utils_spark.operators.dedup import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    span = d.where(F.col("doc_id") == 0).select(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120)
+         .alias("__sp"))
+    aug = d.crossJoin(F.broadcast(span)).select(
+        "doc_id",
+        F.when((F.col("doc_id") % 7 == 0) & (F.col("doc_id") >= 3),
+               F.concat(F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(" "), F.col("__sp")))
+         .otherwise(F.coalesce(F.col("text"), F.lit(""))).alias("text"))
+    held = aug.where(F.col("doc_id") < 3)
+    return ngram_contamination(aug, held, "text", "doc_id", n=5)
+
+
 @q("text_boilerplate", r"""
 WITH aug AS (
   SELECT doc_id,
@@ -2129,7 +2181,7 @@ _FRONT_OF_BOARD = [
     "code_rollup_paths", "code_kll_sizes", "code_bloom_anti",
     "code_salted_stats", "code_sha_invariant",
     "cm_mode_day", "text_compression", "text_boilerplate",
-    "text_token_freq", "join_bucketed",
+    "text_token_freq", "ngram_contamination", "join_bucketed",
     "sample_token_budget_nomat", "decontaminate_near",
     # round-3 additions that sat at positions 51-79 (never driver-run)
     "text_profile", "scrub_pii", "extract_urls", "decontaminate_exact",

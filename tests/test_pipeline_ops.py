@@ -799,3 +799,33 @@ class TestBoilerplateAndTokenFreq:
             assert out[empty]["n_tokens"] == 0
             assert out[empty]["sum_token_freq"] == 0
             assert out[empty]["mean_token_freq"] is None
+
+    def test_ngram_contamination_flags_quoted_span(self, spark):
+        from tsv_utils_spark.operators.dedup import ngram_contamination
+
+        eval_q = ("what is the capital of france and why does the river "
+                  "flow north through the old city")
+        train = spark.createDataFrame(
+            [(1, "totally unrelated text about cooking pasta with many "
+                 "words and no overlap at all here"),
+             (2, "a student asked: " + eval_q + " during the exam"),
+             (3, "short doc")],
+            ["doc_id", "text"])
+        held = spark.createDataFrame([(100, eval_q)], ["doc_id", "text"])
+        out = {r["doc_id"]: r["n_shared_ngrams"] for r in
+               ngram_contamination(train, held, "text", "doc_id",
+                                   n=5).collect()}
+        assert 2 in out and out[2] >= 10  # the quoted span's 5-grams
+        assert 1 not in out and 3 not in out
+
+    def test_ngram_contamination_short_doc_exact_match(self, spark):
+        from tsv_utils_spark.operators.dedup import ngram_contamination
+
+        train = spark.createDataFrame(
+            [(1, "tiny leak"), (2, "no leak")], ["doc_id", "text"])
+        held = spark.createDataFrame([(9, "tiny leak")],
+                                     ["doc_id", "text"])
+        out = {r["doc_id"] for r in
+               ngram_contamination(train, held, "text", "doc_id",
+                                   n=13).collect()}
+        assert out == {1}  # whole-doc gram for sub-n docs

@@ -14,6 +14,7 @@ from tsv_utils_spark.operators.dedup import (
     decontaminate,
     exact_dedup,
     minhash_dedup,
+    ngram_contamination,
     simhash_dedup,
 )
 from tsv_utils_spark.operators.join import bloom_anti_join, bloom_semi_join, salted_join
@@ -38,6 +39,8 @@ __all__ = [
     "Op", "summarize", "Predicates", "tsv_filter", "join_filter", "uniq",
     "sample", "sample_to_budget", "stratified_sample", "select_fields", "split_by_key", "split_random", "append_tables",
     "exact_dedup", "minhash_dedup", "simhash_dedup", "decontaminate",
+    "ngram_contamination",
+    "ngram_contamination",
     "bloom_semi_join", "bloom_anti_join", "salted_join",
     "analyze", "gopher_quality", "top_ngram_stats", "scrub_pii",
     "extract_urls", "compression_ratio", "remove_boilerplate_lines",

@@ -145,6 +145,39 @@ def decontaminate(train: DataFrame, heldout: DataFrame, content_col: str,
     return clean.join(leaked, id_col, "left_anti")
 
 
+def ngram_contamination(train: DataFrame, heldout: DataFrame,
+                        content_col: str, id_col: str,
+                        n: int = 13, min_shared: int = 1) -> DataFrame:
+    """N-GRAM-level eval-set contamination (the published GPT-3 method:
+    Brown et al. 2020, App. C flag training documents sharing any
+    13-gram with an eval example — finer than doc-level LSH, which can
+    miss a single quoted eval question inside a long document).
+
+    Returns ``(id_col, n_shared_ngrams)`` for train docs sharing at
+    least ``min_shared`` distinct ``n``-grams with ANY held-out doc.
+    Docs shorter than ``n`` tokens contribute one whole-doc gram
+    (exact-match semantics for short docs, same rule as
+    ``_shingle_expr`` everywhere else in this module).
+
+    Scale shape: held-out grams are deduplicated once (tiny relative to
+    the train corpus — AQE broadcasts the semi-join side when it fits);
+    the train side explodes to (id, gram) and semi-joins, then ONE
+    groupBy(id). No signatures, no Python.
+    """
+    grams_t = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            _shingle_expr(content_col, n))).alias("__g"))
+    grams_h = heldout.select(
+        F.explode(F.array_distinct(
+            _shingle_expr(content_col, n))).alias("__g")) \
+        .dropDuplicates(["__g"])
+    shared = grams_t.join(grams_h, "__g", "left_semi")
+    return shared.groupBy(id_col) \
+        .agg(F.countDistinct("__g").alias("n_shared_ngrams")) \
+        .where(F.col("n_shared_ngrams") >= min_shared)
+
+
 def _band_buckets(sigs: DataFrame, df: DataFrame, id_col: str,
                   bands: int) -> DataFrame:
     """Explode MinHash signatures to (id, band, bucket) rows — THE one
