@@ -313,3 +313,36 @@ class TestTransformFingerprint:
             assert r.returncode == 0, r.stderr
             outs.add(r.stdout.strip())
         assert len(outs) == 1, f"fingerprint varies with hash seed: {outs}"
+
+    def test_partial_with_set_arg_stable_across_hash_seeds(self):
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prog = (
+            f"import sys; sys.path.insert(0, {repo!r})\n"
+            "import functools\n"
+            "from tsv_utils_spark.plans.checkpoint import "
+            "_transform_fingerprint\n"
+            "def f(df, keep): return df\n"
+            "p = functools.partial(f, keep=frozenset({'aa','bb','cc'}))\n"
+            "print(_transform_fingerprint(p)[0])\n")
+        outs = set()
+        for seed in ("1", "2", "3"):
+            r = subprocess.run([sys.executable, "-c", prog],
+                               capture_output=True, text=True,
+                               env={"PYTHONHASHSEED": seed,
+                                    "PATH": "/usr/bin:/bin"})
+            assert r.returncode == 0, r.stderr
+            outs.add(r.stdout.strip())
+        assert len(outs) == 1, f"partial fingerprint varies: {outs}"
+
+    def test_plain_repr_consts_unchanged_by_canonicalization(self):
+        # minimal-churn guarantee: values with stable reprs pass through
+        # verbatim, so fingerprints only changed for the unstable cases
+        from tsv_utils_spark.plans.checkpoint import _const_repr
+
+        for v in (None, True, 42, 3.5, "s", b"b", (1, "x", (2.0, None)),
+                  ("a",)):
+            assert _const_repr(v) == repr(v)

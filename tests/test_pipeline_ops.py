@@ -829,3 +829,33 @@ class TestBoilerplateAndTokenFreq:
                ngram_contamination(train, held, "text", "doc_id",
                                    n=13).collect()}
         assert out == {1}  # whole-doc gram for sub-n docs
+
+    def test_ngram_contamination_short_heldout_in_long_train_doc(
+            self, spark):
+        # the published method's key case: a 12-token eval question
+        # quoted inside a much longer training doc must be flagged even
+        # at n=13 (matched at the eval doc's own length)
+        from tsv_utils_spark.operators.dedup import ngram_contamination
+
+        eval_q = ("why does the river flow north through the old city "
+                  "tonight")  # 11 tokens < n=13
+        train = spark.createDataFrame(
+            [(1, "a very long training document " * 20 + eval_q
+                 + " and then it continues for a while " * 10),
+             (2, "completely unrelated content about gardening and "
+                 "soil quality " * 10)],
+            ["doc_id", "text"])
+        held = spark.createDataFrame([(100, eval_q)], ["doc_id", "text"])
+        out = {r["doc_id"] for r in
+               ngram_contamination(train, held, "text", "doc_id",
+                                   n=13).collect()}
+        assert out == {1}
+
+    def test_ngram_contamination_empty_heldout(self, spark):
+        from tsv_utils_spark.operators.dedup import ngram_contamination
+
+        train = spark.createDataFrame([(1, "some text")],
+                                      ["doc_id", "text"])
+        held = spark.createDataFrame([(9, "   ")], ["doc_id", "text"])
+        assert ngram_contamination(train, held, "text", "doc_id",
+                                   n=5).count() == 0

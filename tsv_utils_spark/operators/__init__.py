@@ -40,7 +40,6 @@ __all__ = [
     "sample", "sample_to_budget", "stratified_sample", "select_fields", "split_by_key", "split_random", "append_tables",
     "exact_dedup", "minhash_dedup", "simhash_dedup", "decontaminate",
     "ngram_contamination",
-    "ngram_contamination",
     "bloom_semi_join", "bloom_anti_join", "salted_join",
     "analyze", "gopher_quality", "top_ngram_stats", "scrub_pii",
     "extract_urls", "compression_ratio", "remove_boilerplate_lines",

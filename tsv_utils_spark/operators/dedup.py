@@ -154,27 +154,55 @@ def ngram_contamination(train: DataFrame, heldout: DataFrame,
     miss a single quoted eval question inside a long document).
 
     Returns ``(id_col, n_shared_ngrams)`` for train docs sharing at
-    least ``min_shared`` distinct ``n``-grams with ANY held-out doc.
-    Docs shorter than ``n`` tokens contribute one whole-doc gram
-    (exact-match semantics for short docs, same rule as
-    ``_shingle_expr`` everywhere else in this module).
+    least ``min_shared`` distinct grams with ANY held-out doc.
 
-    Scale shape: held-out grams are deduplicated once (tiny relative to
-    the train corpus — AQE broadcasts the semi-join side when it fits);
-    the train side explodes to (id, gram) and semi-joins, then ONE
-    groupBy(id). No signatures, no Python.
+    Per the published method, a held-out doc SHORTER than ``n`` tokens
+    is matched at its own length m = min(n, len): the train side is
+    shingled at every effective size the held-out set actually needs
+    (at most ``n`` distinct sizes, discovered with one tiny job over
+    the held-out set — held-out sets are small by definition), and
+    grams join on (size, gram) so an m-gram can never collide with an
+    n-gram. Without this, a 12-token eval question quoted inside a
+    500-token training doc would be unreachable at n=13.
+
+    Scale shape: held-out grams are deduplicated once per size (AQE
+    broadcasts the semi-join side when it fits); the train side
+    explodes to (id, size, gram) — one branch per needed size — and
+    semi-joins, then ONE groupBy(id). No signatures, no Python.
     """
-    grams_t = train.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(
-            _shingle_expr(content_col, n))).alias("__g"))
-    grams_h = heldout.select(
-        F.explode(F.array_distinct(
-            _shingle_expr(content_col, n))).alias("__g")) \
-        .dropDuplicates(["__g"])
-    shared = grams_t.join(grams_h, "__g", "left_semi")
+    tok_len = F.size(_tokenize_expr(content_col))
+    m_eff = F.least(F.lit(n), tok_len)
+    sizes = sorted(r["m"] for r in
+                   heldout.select(m_eff.alias("m")).where("m > 0")
+                          .distinct().collect())
+    if not sizes:
+        return train.select(F.col(id_col),
+                            F.lit(0).cast("long")
+                             .alias("n_shared_ngrams")).limit(0)
+
+    def grams(df, m, with_id):
+        sel = [F.lit(m).alias("__m"),
+               F.explode(F.array_distinct(
+                   _shingle_expr(content_col, m))).alias("__g")]
+        if with_id:
+            sel.insert(0, F.col(id_col))
+        return df.select(*sel)
+
+    grams_h = None
+    grams_t = None
+    for m in sizes:
+        # held-out docs contribute grams at THEIR effective size only;
+        # train docs are shingled at every size the held-out set needs
+        h = grams(heldout.where(m_eff == m), m, with_id=False)
+        t = grams(train, m, with_id=True)
+        grams_h = h if grams_h is None else grams_h.unionByName(h)
+        grams_t = t if grams_t is None else grams_t.unionByName(t)
+    shared = grams_t.join(grams_h.dropDuplicates(["__m", "__g"]),
+                          ["__m", "__g"], "left_semi")
+    # (id, __m, __g) is already distinct (array_distinct per branch,
+    # semi-join never duplicates) — plain count, no distinct aggregate
     return shared.groupBy(id_col) \
-        .agg(F.countDistinct("__g").alias("n_shared_ngrams")) \
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams")) \
         .where(F.col("n_shared_ngrams") >= min_shared)
 
 

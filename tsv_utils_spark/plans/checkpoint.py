@@ -67,34 +67,52 @@ def _is_bare_scan(df: DataFrame) -> bool:
         return False
 
 
+def _needs_canon(c) -> bool:
+    """Whether repr(c) is process-dependent: code objects (memory
+    address), sets/frozensets (string-hash iteration order varies with
+    PYTHONHASHSEED), or containers holding either."""
+    if hasattr(c, "co_code") or isinstance(c, (set, frozenset)):
+        return True
+    if isinstance(c, tuple):
+        return any(_needs_canon(e) for e in c)
+    return False
+
+
 def _const_repr(c) -> str:
-    """Process-independent repr of a code constant. Two traps:
+    """Process-independent repr of a value reachable from a code
+    constant or a functools.partial argument. Values whose repr() is
+    already stable pass through VERBATIM (minimal fingerprint churn);
+    only the unstable cases get a canonical form:
     - code objects repr with a per-process memory address;
-    - frozensets (compiled from set-literal membership tests like
-      ``x in {'a','b'}``) repr in string-hash order, which varies with
+    - sets/frozensets (set-literal membership tests compile to
+      frozenset consts) repr in string-hash order, which varies with
       PYTHONHASHSEED across interpreter restarts.
-    Both would change the job fingerprint across restarts and reject a
-    legitimate resume — exactly the crash/restart case checkpoints
+    Either would change the job fingerprint across restarts and reject
+    a legitimate resume — exactly the crash/restart case checkpoints
     exist for."""
+    if not _needs_canon(c):
+        return repr(c)
     if hasattr(c, "co_code"):
         return _code_digest(c).hex()
-    if isinstance(c, frozenset):
-        return "frozenset{" + ",".join(sorted(_const_repr(e)
-                                              for e in c)) + "}"
-    if isinstance(c, tuple):
-        return "(" + ",".join(_const_repr(e) for e in c) + ")"
-    return repr(c)
+    if isinstance(c, (set, frozenset)):
+        return (type(c).__name__ + "{"
+                + ",".join(sorted(_const_repr(e) for e in c)) + "}")
+    return "(" + ",".join(_const_repr(e) for e in c) + ")"  # tuple
 
 
 def _code_digest(code) -> bytes:
     """Process-independent digest of a code object: bytecode plus
-    canonicalized consts, with NESTED code objects replaced by their own
-    recursive digest (see _const_repr for why repr() alone is unsafe)."""
+    canonicalized consts, with NESTED code objects hashed by their own
+    recursive digest (raw bytes — see _const_repr for why repr() alone
+    is unsafe)."""
     import hashlib
 
     h = hashlib.sha256(code.co_code)
     for c in code.co_consts:
-        h.update(_const_repr(c).encode())
+        if hasattr(c, "co_code"):
+            h.update(_code_digest(c))
+        else:
+            h.update(_const_repr(c).encode())
     return h.digest()
 
 
@@ -110,10 +128,13 @@ def _transform_fingerprint(transform) -> list | None:
     code = getattr(transform, "__code__", None)
     if code is None and hasattr(transform, "func"):  # functools.partial
         code = getattr(transform.func, "__code__", None)
+        # _const_repr, not repr: a set/frozenset bound argument would
+        # otherwise make the fingerprint PYTHONHASHSEED-dependent (same
+        # trap as set-literal code consts)
         name = f"partial({getattr(transform.func, '__qualname__', '?')})" \
-               + repr((transform.args,
-                       sorted(transform.keywords.items())
-                       if transform.keywords else []))
+               + _const_repr((transform.args,
+                              tuple(sorted(transform.keywords.items()))
+                              if transform.keywords else ()))
     body = _code_digest(code).hex()[:16] if code is not None else None
     return [name, body]
 
