@@ -2168,6 +2168,35 @@ def q_text_token_freq(spark, sf_dir):
     return token_frequency_stats(d, "text", "doc_id", top_k=10)
 
 
+@q("pack_sequences_det", """
+WITH rt AS (
+  SELECT doc_id, n_chars,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY md5(doc_id::VARCHAR)
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS cum
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       cum // 512 AS seq_id,
+       cum % 512 AS seq_offset,
+       (cum + greatest(n_chars, 1) - 1) // 512 - cum // 512 + 1 AS n_seqs
+FROM rt
+""")
+def q_pack_sequences_det(spark, sf_dir):
+    # GPT-style sequence packing bookkeeping: concatenate docs in
+    # deterministic md5 order, cut every 512 tokens; each doc gets its
+    # starting sequence, offset, and span count. running_total keeps
+    # int64 arithmetic end-to-end, so the distributed prefix sum is
+    # bit-identical to the oracle's sequential window cumsum.
+    _ensure_shipped(spark)
+    from tsv_utils_spark.operators.pack import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars") \
+        .withColumn("__ord", F.md5(F.col("doc_id").cast("string")))
+    return pack_sequences(d, "n_chars", 512, "__ord") \
+        .select("doc_id", "n_chars", "seq_id", "seq_offset", "n_seqs")
+
+
 @q("pipeline_e2e", r"""
 WITH base AS (
   SELECT doc_id, coalesce(text, '') AS c, n_chars,
@@ -2252,7 +2281,7 @@ def q_pipeline_e2e(spark, sf_dir):
 # window.  Previously-witnessed queries follow in registration order.
 _FRONT_OF_BOARD = [
     # round-4 additions (never driver-run)
-    "pipeline_e2e", "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
+    "pipeline_e2e", "pack_sequences_det", "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
     "code_rollup_paths", "code_kll_sizes", "code_bloom_anti",
     "code_salted_stats", "code_sha_invariant",
     "cm_mode_day", "text_compression", "text_boilerplate",

@@ -639,3 +639,59 @@ class TestSampleBudgetAndStrata:
             # the data, so the in-plan guard fires here
             sample_to_budget(df, "w", 100, "__ord",
                              materialize=False).collect()
+
+
+class TestRunningTotalAndPacking:
+    def test_running_total_matches_window_int_exact(self, tables, spark):
+        from pyspark.sql import Window
+
+        from tsv_utils_spark.operators.pack import running_total
+
+        d = tables["documents"].select("doc_id", "n_chars") \
+            .withColumn("__ord", F.md5(F.col("doc_id").cast("string")))
+        got = {r["doc_id"]: r["cum_excl"] for r in
+               running_total(d, "n_chars", "__ord").collect()}
+        w = Window.orderBy("__ord").rowsBetween(
+            Window.unboundedPreceding, -1)
+        want = {r["doc_id"]: r["c"] for r in
+                d.withColumn("c", F.coalesce(F.sum("n_chars").over(w),
+                                             F.lit(0))).collect()}
+        assert got == want  # bit-identical: int64 end-to-end
+
+    def test_running_total_null_weights_zero(self, spark):
+        from tsv_utils_spark.operators.pack import running_total
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 5)], "id int, w int") \
+            .withColumn("__ord", F.md5(F.col("id").cast("string")))
+        rows = running_total(df, "w", "__ord").collect()
+        ordered = sorted(rows, key=lambda r: r["__ord"])
+        cum = 0
+        for r in ordered:
+            assert r["cum_excl"] == cum
+            cum += r["w"] or 0
+
+    def test_pack_sequences_boundaries_and_straddlers(self, spark):
+        from tsv_utils_spark.operators.pack import pack_sequences
+
+        # fixed order: single hex char prefixes give a known sort
+        rows = [("a" * 32, 1, 300), ("b" * 32, 2, 300), ("c" * 32, 3, 500)]
+        df = spark.createDataFrame(
+            [(o, i, w) for o, i, w in rows], "__ord string, id int, w int")
+        out = {r["id"]: r for r in
+               pack_sequences(df, "w", 512, "__ord").collect()}
+        # cum: id1=0, id2=300, id3=600
+        assert (out[1]["seq_id"], out[1]["seq_offset"], out[1]["n_seqs"]) \
+            == (0, 0, 1)
+        assert (out[2]["seq_id"], out[2]["seq_offset"], out[2]["n_seqs"]) \
+            == (0, 300, 2)  # 300..599 straddles the 512 cut
+        assert (out[3]["seq_id"], out[3]["seq_offset"], out[3]["n_seqs"]) \
+            == (1, 88, 2)   # 600..1099 straddles the 1024 cut
+
+    def test_pack_rejects_float_weights(self, spark):
+        from tsv_utils_spark.operators.pack import pack_sequences
+
+        df = spark.createDataFrame([(1, 1.5, "a" * 32)],
+                                   "id int, w double, __ord string")
+        with pytest.raises(ValueError, match="integer token-count"):
+            pack_sequences(df, "w", 512, "__ord")

@@ -260,21 +260,14 @@ def _budget_by_hex_buckets(df: DataFrame, weight_col: str, budget: float,
     Bucket id = floor(int(order_col[:8], 16) * buckets / 2^32): monotone
     in the lexicographic order of a fixed-width lowercase-hex column, so
     global order == (bucket, order_col within bucket)."""
-    width = float(1 << 32) / buckets
-    # a NULL order value has no position in the prefix order: it would
-    # get a NULL bucket, be charged against the offsets, then silently
-    # vanish from the isin() pruning — raise in-plan instead (the
-    # materialize path sorts NULLs like any other value, so the two
-    # strategies would otherwise diverge)
-    ord_checked = F.when(
-        F.col(order_col).isNull(),
-        F.raise_error(F.lit(
-            f"sample_to_budget(materialize=False): NULL {order_col} has "
-            f"no deterministic position — filter NULLs out or use "
-            f"materialize=True"))).otherwise(F.col(order_col))
-    bucket = (F.conv(F.substring(ord_checked, 1, 8), 16, 10)
-               .cast("long") / F.lit(width)).cast("int")
-    tagged = df.withColumn("__bkt", bucket)
+    # shared hex-prefix bucketing (operators/pack.py — also the base of
+    # running_total/pack_sequences); NULL order values raise in-plan
+    # because the materialize path sorts them like any other value and
+    # the two strategies would otherwise diverge
+    from tsv_utils_spark.operators.pack import _hex_buckets
+
+    tagged = _hex_buckets(df, order_col, buckets,
+                          "sample_to_budget(materialize=False)")
     sums = (tagged.groupBy("__bkt")
                   .agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
                   .orderBy("__bkt").collect())
