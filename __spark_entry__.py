@@ -2197,6 +2197,37 @@ def q_pack_sequences_det(spark, sf_dir):
         .select("doc_id", "n_chars", "seq_id", "seq_offset", "n_seqs")
 
 
+@q("pack_segments_det", """
+WITH rt AS (
+  SELECT doc_id, n_chars,
+         CAST(coalesce(sum(n_chars) OVER (ORDER BY md5(doc_id::VARCHAR)
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS cum
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, seq_id,
+       greatest(cum, seq_id * 512) - cum AS slice_start,
+       least(cum + n_chars, (seq_id + 1) * 512)
+         - greatest(cum, seq_id * 512) AS slice_len,
+       greatest(cum, seq_id * 512) % 512 AS seq_pos
+FROM rt, UNNEST(range(cum // 512, (cum + n_chars - 1) // 512 + 1))
+         AS t(seq_id)
+""")
+def q_pack_segments_det(spark, sf_dir):
+    # writer-side packing: every (doc, sequence) slice a straddling doc
+    # contributes — groupBy(seq_id) over this materializes finished
+    # training sequences. Int64 bookkeeping end-to-end; the oracle
+    # replays the same slice arithmetic with an UNNEST(range()).
+    _ensure_shipped(spark)
+    from tsv_utils_spark.operators.pack import pack_segments
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars") \
+        .where(F.col("n_chars") > 0) \
+        .withColumn("__ord", F.md5(F.col("doc_id").cast("string")))
+    return pack_segments(d, "n_chars", 512, "__ord") \
+        .select("doc_id", "seq_id", "slice_start", "slice_len", "seq_pos")
+
+
 @q("pipeline_e2e", r"""
 WITH base AS (
   SELECT doc_id, coalesce(text, '') AS c, n_chars,
@@ -2281,7 +2312,8 @@ def q_pipeline_e2e(spark, sf_dir):
 # window.  Previously-witnessed queries follow in registration order.
 _FRONT_OF_BOARD = [
     # round-4 additions (never driver-run)
-    "pipeline_e2e", "pack_sequences_det", "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
+    "pipeline_e2e", "pack_sequences_det", "pack_segments_det",
+    "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
     "code_rollup_paths", "code_kll_sizes", "code_bloom_anti",
     "code_salted_stats", "code_sha_invariant",
     "cm_mode_day", "text_compression", "text_boilerplate",

@@ -695,3 +695,33 @@ class TestRunningTotalAndPacking:
                                    "id int, w double, __ord string")
         with pytest.raises(ValueError, match="integer token-count"):
             pack_sequences(df, "w", 512, "__ord")
+
+    def test_pack_segments_reassemble(self, tables, spark):
+        from tsv_utils_spark.operators.pack import pack_segments
+
+        d = tables["documents"].select("doc_id", "n_chars") \
+            .where("n_chars > 0") \
+            .withColumn("__ord", F.md5(F.col("doc_id").cast("string")))
+        seg = pack_segments(d, "n_chars", 256, "__ord").toPandas()
+        # every doc's slices cover exactly [0, n_chars) contiguously
+        byid = dict(d.select("doc_id", "n_chars").toPandas()
+                    .set_index("doc_id")["n_chars"])
+        for doc_id, g in seg.groupby("doc_id"):
+            g = g.sort_values("slice_start")
+            assert g["slice_start"].iloc[0] == 0
+            assert (g["slice_start"] + g["slice_len"]).iloc[-1] == \
+                byid[doc_id]
+            assert (g["slice_start"].iloc[1:].to_numpy() ==
+                    (g["slice_start"] + g["slice_len"]).iloc[:-1]
+                    .to_numpy()).all()
+        # every sequence except the last is filled to exactly seq_len
+        per_seq = seg.groupby("seq_id")["slice_len"].sum()
+        assert (per_seq.iloc[:-1] == 256).all()
+        assert per_seq.sum() == sum(byid.values())
+        # slices within a sequence tile it: seq_pos contiguous from 0
+        for sid, g in seg.groupby("seq_id"):
+            g = g.sort_values("seq_pos")
+            assert g["seq_pos"].iloc[0] == 0
+            assert (g["seq_pos"].iloc[1:].to_numpy() ==
+                    (g["seq_pos"] + g["slice_len"]).iloc[:-1]
+                    .to_numpy()).all()

@@ -18,7 +18,7 @@ from tsv_utils_spark.operators.dedup import (
     simhash_dedup,
 )
 from tsv_utils_spark.operators.join import bloom_anti_join, bloom_semi_join, salted_join
-from tsv_utils_spark.operators.pack import pack_sequences, running_total
+from tsv_utils_spark.operators.pack import pack_segments, pack_sequences, running_total
 from tsv_utils_spark.operators.text import (
     analyze,
     compression_ratio,
@@ -40,7 +40,7 @@ __all__ = [
     "Op", "summarize", "Predicates", "tsv_filter", "join_filter", "uniq",
     "sample", "sample_to_budget", "stratified_sample", "select_fields", "split_by_key", "split_random", "append_tables",
     "exact_dedup", "minhash_dedup", "simhash_dedup", "decontaminate",
-    "ngram_contamination", "running_total", "pack_sequences",
+    "ngram_contamination", "running_total", "pack_sequences", "pack_segments",
     "bloom_semi_join", "bloom_anti_join", "salted_join",
     "analyze", "gopher_quality", "top_ngram_stats", "scrub_pii",
     "extract_urls", "compression_ratio", "remove_boilerplate_lines",

@@ -116,3 +116,38 @@ def pack_sequences(df: DataFrame, weight_col: str, seq_len: int,
         seq_id.alias("seq_id"),
         (cum % seq_len).cast("long").alias("seq_offset"),
         (last - seq_id + 1).cast("long").alias("n_seqs"))
+
+
+def pack_segments(df: DataFrame, weight_col: str, seq_len: int,
+                  order_col: str) -> DataFrame:
+    """The writer-side explode of ``pack_sequences``: one row per
+    (document, sequence) pair with the token SLICE of the document that
+    lands in that sequence — ``slice_start``/``slice_len`` in document
+    token coordinates, ``seq_pos`` where the slice begins inside the
+    sequence. ``groupBy(seq_id)`` over this output (collecting slices
+    ordered by seq_pos) materializes finished training sequences; a
+    straddling document appears once per spanned sequence with adjacent
+    slices. Zero-token documents are dropped (they occupy no tokens).
+    Pure Catalyst: explode(sequence(first, last)) — no Python."""
+    if dict(df.dtypes)[weight_col] not in _INT_TYPES:
+        raise ValueError(
+            f"pack_segments needs an integer token-count column; "
+            f"{weight_col!r} is {dict(df.dtypes)[weight_col]}")
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    rt = running_total(df, weight_col, order_col, out_col="__cum")
+    cum = F.col("__cum")
+    w = F.coalesce(F.col(weight_col), F.lit(0)).cast("long")
+    first = F.floor(cum / seq_len).cast("long")
+    last = F.floor((cum + w - 1) / seq_len).cast("long")
+    ex = rt.where(w > 0).select(
+        *df.columns, cum.alias("__cum"),
+        F.explode(F.sequence(first, last)).alias("seq_id"))
+    s = F.col("seq_id")
+    seg_lo = F.greatest(F.col("__cum"), s * seq_len)
+    seg_hi = F.least(F.col("__cum") + w, (s + 1) * seq_len)
+    return ex.select(
+        *df.columns, "seq_id",
+        (seg_lo - F.col("__cum")).cast("long").alias("slice_start"),
+        (seg_hi - seg_lo).cast("long").alias("slice_len"),
+        (seg_lo % seq_len).cast("long").alias("seq_pos"))
