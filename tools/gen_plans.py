@@ -79,6 +79,17 @@ NOTES = {
         "sf0.001 the dim is tiny enough that the planner correctly "
         "prefers a broadcast join and auto-disables the bucketed scan): "
         "SortMergeJoin with ZERO Exchange on either side",
+    "pipeline_e2e":
+        "the FLAGSHIP four-stage pipeline (quality -> exact dedup -> "
+        "decontaminate -> token budget) fused into one logical plan: a "
+        "single parquet scan feeds three stacked broadcast semi/anti "
+        "joins, ONE exchange (budget bucketing), and no Python until "
+        "the final budget stage",
+    "pack_segments_det":
+        "sequence packing: distributed int64 prefix sum (hex-bucket "
+        "offsets, one exchange) then a pure-Catalyst "
+        "explode(sequence(first,last)) — slice arithmetic entirely in "
+        "codegen, no Python after the cumsum stage",
 }
 
 # per-query session conf overrides for the capture (restored after)
