@@ -346,3 +346,55 @@ class TestTransformFingerprint:
         for v in (None, True, 42, 3.5, "s", b"b", (1, "x", (2.0, None)),
                   ("a",)):
             assert _const_repr(v) == repr(v)
+
+    def test_nested_set_in_list_and_dict_args_stable(self):
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prog = (
+            f"import sys; sys.path.insert(0, {repo!r})\n"
+            "import functools\n"
+            "from tsv_utils_spark.plans.checkpoint import "
+            "_transform_fingerprint\n"
+            "def f(df, cfg, keep): return df\n"
+            "p = functools.partial(f, cfg={'ids': {'aa', 'bb', 'cc'}},\n"
+            "                      keep=['x', frozenset({'q', 'r'})])\n"
+            "print(_transform_fingerprint(p)[0])\n")
+        outs = set()
+        for seed in ("1", "2", "3"):
+            r = subprocess.run([sys.executable, "-c", prog],
+                               capture_output=True, text=True,
+                               env={"PYTHONHASHSEED": seed,
+                                    "PATH": "/usr/bin:/bin"})
+            assert r.returncode == 0, r.stderr
+            outs.add(r.stdout.strip())
+        assert len(outs) == 1, f"nested-set fingerprint varies: {outs}"
+
+    def test_const_framing_prevents_concat_aliasing(self):
+        # consts (1, 23) vs (12, 3): identical bytecode, identical
+        # unframed concatenation "1"+"23" == "12"+"3" — digests must
+        # still differ or an edited transform matches its stale
+        # checkpoint
+        from tsv_utils_spark.plans.checkpoint import _transform_fingerprint
+
+        ns1, ns2 = {}, {}
+        # call-arg form: separate consts (None, 1, 23) vs (None, 12, 3)
+        # with byte-identical co_code — verified to collide under the
+        # old unframed concatenation
+        exec("def tf(df):\n    return df.x(1, 23)\n", ns1)
+        exec("def tf(df):\n    return df.x(12, 3)\n", ns2)
+        assert ns1["tf"].__code__.co_code == ns2["tf"].__code__.co_code
+        assert _transform_fingerprint(ns1["tf"]) != \
+            _transform_fingerprint(ns2["tf"])
+
+    def test_object_with_address_repr_is_stable(self):
+        from tsv_utils_spark.plans.checkpoint import _const_repr
+
+        class Cfg:
+            pass
+
+        a, b = Cfg(), Cfg()
+        assert repr(a) != repr(b)  # address-bearing default reprs
+        assert _const_repr(a) == _const_repr(b)  # canonical type form

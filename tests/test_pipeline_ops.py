@@ -859,3 +859,20 @@ class TestBoilerplateAndTokenFreq:
         held = spark.createDataFrame([(9, "   ")], ["doc_id", "text"])
         assert ngram_contamination(train, held, "text", "doc_id",
                                    n=5).count() == 0
+
+    def test_ngram_contamination_whitespace_heldout_ignored(self, spark):
+        # split("") == [""] trap: an empty held-out doc must contribute
+        # NOTHING (no unigram explosion, no "" gram flagging empty
+        # train docs)
+        from tsv_utils_spark.operators.dedup import ngram_contamination
+
+        train = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "real content here with words")],
+            ["doc_id", "text"])
+        held = spark.createDataFrame(
+            [(9, "  "), (10, "real content here with words")],
+            ["doc_id", "text"])
+        out = {r["doc_id"] for r in
+               ngram_contamination(train, held, "text", "doc_id",
+                                   n=5).collect()}
+        assert out == {3}  # empty train docs NOT flagged by empty held

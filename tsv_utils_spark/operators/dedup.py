@@ -165,12 +165,20 @@ def ngram_contamination(train: DataFrame, heldout: DataFrame,
     n-gram. Without this, a 12-token eval question quoted inside a
     500-token training doc would be unreachable at n=13.
 
-    Scale shape: held-out grams are deduplicated once per size (AQE
-    broadcasts the semi-join side when it fits); the train side
-    explodes to (id, size, gram) — one branch per needed size — and
-    semi-joins, then ONE groupBy(id). No signatures, no Python.
+    Scale shape: held-out grams are deduplicated once (AQE broadcasts
+    the semi-join side when it fits); the train side is shingled at ALL
+    needed sizes in ONE scan and ONE explode (a flattened array of
+    (size, gram) structs — never one full corpus pass per size), then
+    ONE groupBy(id). No signatures, no Python.
     """
-    tok_len = F.size(_tokenize_expr(content_col))
+    # split("") yields [""] (size 1, not 0) — the same trap
+    # gopher_quality guards; without this an empty/whitespace held-out
+    # doc would register m_eff=1, explode the whole train corpus into
+    # unigrams, and flag every empty train doc via the "" gram
+    toks = _tokenize_expr(content_col)
+    tok_len = F.when(F.length(F.trim(F.coalesce(F.col(content_col),
+                                                F.lit("")))) == 0,
+                     F.lit(0)).otherwise(F.size(toks))
     m_eff = F.least(F.lit(n), tok_len)
     sizes = sorted(r["m"] for r in
                    heldout.select(m_eff.alias("m")).where("m > 0")
@@ -180,25 +188,37 @@ def ngram_contamination(train: DataFrame, heldout: DataFrame,
                             F.lit(0).cast("long")
                              .alias("n_shared_ngrams")).limit(0)
 
-    def grams(df, m, with_id):
-        sel = [F.lit(m).alias("__m"),
-               F.explode(F.array_distinct(
-                   _shingle_expr(content_col, m))).alias("__g")]
-        if with_id:
-            sel.insert(0, F.col(id_col))
-        return df.select(*sel)
+    def _tag(m):
+        # one-arg lambda bound via factory: a `lambda g, m=m` would be
+        # seen by F.transform as the (element, index) form and m would
+        # receive the ARRAY INDEX instead of the size
+        return lambda g: F.struct(F.lit(m).alias("m"), g.alias("g"))
 
-    grams_h = None
-    grams_t = None
-    for m in sizes:
-        # held-out docs contribute grams at THEIR effective size only;
-        # train docs are shingled at every size the held-out set needs
-        h = grams(heldout.where(m_eff == m), m, with_id=False)
-        t = grams(train, m, with_id=True)
-        grams_h = h if grams_h is None else grams_h.unionByName(h)
-        grams_t = t if grams_t is None else grams_t.unionByName(t)
-    shared = grams_t.join(grams_h.dropDuplicates(["__m", "__g"]),
-                          ["__m", "__g"], "left_semi")
+    def tagged_grams(size_pred):
+        """Flattened (size, gram) structs across all needed sizes —
+        ONE expression, so the consumer scans its input once.
+        ``size_pred(m)`` gates which docs contribute at size m."""
+        branches = [
+            F.when(size_pred(m) & (tok_len > 0),
+                   F.transform(
+                       F.array_distinct(_shingle_expr(content_col, m)),
+                       _tag(m)))
+             .otherwise(F.array().cast("array<struct<m:int,g:string>>"))
+            for m in sizes]
+        return F.flatten(F.array(*branches))
+
+    # held-out docs contribute grams at THEIR effective size only;
+    # train docs are shingled at every size the held-out set needs
+    grams_h = heldout.select(
+        F.explode(tagged_grams(lambda m: m_eff == m)).alias("s")) \
+        .select(F.col("s.m").alias("__m"), F.col("s.g").alias("__g")) \
+        .dropDuplicates(["__m", "__g"])
+    grams_t = train.select(
+        F.col(id_col),
+        F.explode(tagged_grams(lambda m: F.lit(True))).alias("s")) \
+        .select(id_col, F.col("s.m").alias("__m"),
+                F.col("s.g").alias("__g"))
+    shared = grams_t.join(grams_h, ["__m", "__g"], "left_semi")
     # (id, __m, __g) is already distinct (array_distinct per branch,
     # semi-join never duplicates) — plain count, no distinct aggregate
     return shared.groupBy(id_col) \

@@ -105,16 +105,18 @@ def pack_sequences(df: DataFrame, weight_col: str, seq_len: int,
             f"{weight_col!r} is {dict(df.dtypes)[weight_col]}")
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    rt = running_total(df, weight_col, order_col, out_col="__cum")
-    cum = F.col("__cum")
-    w = F.coalesce(F.col(weight_col), F.lit(0)).cast("long")
-    seq_id = F.floor(cum / seq_len).cast("long")
-    last = F.floor((cum + F.greatest(w, F.lit(1)) - 1) / seq_len) \
-            .cast("long")
+    # SQL DIV, not floor(a / b): Spark's `/` on longs is DOUBLE
+    # division, which loses integer precision past 2^53 tokens — DIV
+    # keeps the bookkeeping int64 end-to-end as documented
+    rt = running_total(df, weight_col, order_col, out_col="__cum") \
+        .withColumn("__w", F.coalesce(F.col(weight_col), F.lit(0))
+                            .cast("long"))
+    seq_id = F.expr(f"__cum DIV {seq_len}")
+    last = F.expr(f"(__cum + greatest(__w, 1L) - 1L) DIV {seq_len}")
     return rt.select(
         *df.columns,
         seq_id.alias("seq_id"),
-        (cum % seq_len).cast("long").alias("seq_offset"),
+        (F.col("__cum") % seq_len).cast("long").alias("seq_offset"),
         (last - seq_id + 1).cast("long").alias("n_seqs"))
 
 
@@ -135,17 +137,19 @@ def pack_segments(df: DataFrame, weight_col: str, seq_len: int,
             f"{weight_col!r} is {dict(df.dtypes)[weight_col]}")
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    rt = running_total(df, weight_col, order_col, out_col="__cum")
-    cum = F.col("__cum")
-    w = F.coalesce(F.col(weight_col), F.lit(0)).cast("long")
-    first = F.floor(cum / seq_len).cast("long")
-    last = F.floor((cum + w - 1) / seq_len).cast("long")
+    # SQL DIV for the same 2^53 reason as pack_sequences
+    rt = running_total(df, weight_col, order_col, out_col="__cum") \
+        .withColumn("__w", F.coalesce(F.col(weight_col), F.lit(0))
+                            .cast("long"))
+    w = F.col("__w")
+    first = F.expr(f"__cum DIV {seq_len}")
+    last = F.expr(f"(__cum + __w - 1L) DIV {seq_len}")
     ex = rt.where(w > 0).select(
-        *df.columns, cum.alias("__cum"),
+        *df.columns, "__cum", "__w",
         F.explode(F.sequence(first, last)).alias("seq_id"))
     s = F.col("seq_id")
     seg_lo = F.greatest(F.col("__cum"), s * seq_len)
-    seg_hi = F.least(F.col("__cum") + w, (s + 1) * seq_len)
+    seg_hi = F.least(F.col("__cum") + F.col("__w"), (s + 1) * seq_len)
     return ex.select(
         *df.columns, "seq_id",
         (seg_lo - F.col("__cum")).cast("long").alias("slice_start"),

@@ -67,29 +67,44 @@ def _is_bare_scan(df: DataFrame) -> bool:
         return False
 
 
+_ADDR_RE = None
+
+
 def _needs_canon(c) -> bool:
     """Whether repr(c) is process-dependent: code objects (memory
     address), sets/frozensets (string-hash iteration order varies with
-    PYTHONHASHSEED), or containers holding either."""
+    PYTHONHASHSEED), containers holding either, or any object whose
+    default repr embeds a memory address ('<... at 0x...>')."""
+    global _ADDR_RE
     if hasattr(c, "co_code") or isinstance(c, (set, frozenset)):
         return True
-    if isinstance(c, tuple):
+    if isinstance(c, (tuple, list)):
         return any(_needs_canon(e) for e in c)
-    return False
+    if isinstance(c, dict):
+        return any(_needs_canon(k) or _needs_canon(v)
+                   for k, v in c.items())
+    if _ADDR_RE is None:
+        import re
+
+        _ADDR_RE = re.compile(r" at 0x[0-9a-fA-F]+>")
+    return bool(_ADDR_RE.search(repr(c)))
 
 
 def _const_repr(c) -> str:
     """Process-independent repr of a value reachable from a code
     constant or a functools.partial argument. Values whose repr() is
     already stable pass through VERBATIM (minimal fingerprint churn);
-    only the unstable cases get a canonical form:
+    the unstable cases get a canonical form:
     - code objects repr with a per-process memory address;
     - sets/frozensets (set-literal membership tests compile to
       frozenset consts) repr in string-hash order, which varies with
-      PYTHONHASHSEED across interpreter restarts.
-    Either would change the job fingerprint across restarts and reject
-    a legitimate resume — exactly the crash/restart case checkpoints
-    exist for."""
+      PYTHONHASHSEED across interpreter restarts — nested at ANY depth
+      (lists/dicts/tuples recursed);
+    - arbitrary objects with default address-bearing reprs collapse to
+      their type name (coarse but restart-stable).
+    Any of these would change the job fingerprint across restarts and
+    reject a legitimate resume — exactly the crash/restart case
+    checkpoints exist for."""
     if not _needs_canon(c):
         return repr(c)
     if hasattr(c, "co_code"):
@@ -97,22 +112,31 @@ def _const_repr(c) -> str:
     if isinstance(c, (set, frozenset)):
         return (type(c).__name__ + "{"
                 + ",".join(sorted(_const_repr(e) for e in c)) + "}")
-    return "(" + ",".join(_const_repr(e) for e in c) + ")"  # tuple
+    if isinstance(c, tuple):
+        return "(" + ",".join(_const_repr(e) for e in c) + ")"
+    if isinstance(c, list):
+        return "[" + ",".join(_const_repr(e) for e in c) + "]"
+    if isinstance(c, dict):  # insertion order: stable for same code
+        return "{" + ",".join(f"{_const_repr(k)}:{_const_repr(v)}"
+                              for k, v in c.items()) + "}"
+    return f"<{type(c).__module__}.{type(c).__qualname__}>"
 
 
 def _code_digest(code) -> bytes:
     """Process-independent digest of a code object: bytecode plus
-    canonicalized consts, with NESTED code objects hashed by their own
-    recursive digest (raw bytes — see _const_repr for why repr() alone
-    is unsafe)."""
+    canonicalized consts, each LENGTH-FRAMED and type-tagged so
+    adjacent consts can never alias (consts (1, 23) vs (12, 3) with
+    identical bytecode must digest differently)."""
     import hashlib
 
     h = hashlib.sha256(code.co_code)
     for c in code.co_consts:
         if hasattr(c, "co_code"):
-            h.update(_code_digest(c))
+            b = b"\x01" + _code_digest(c)
         else:
-            h.update(_const_repr(c).encode())
+            b = b"\x00" + _const_repr(c).encode()
+        h.update(len(b).to_bytes(4, "little"))
+        h.update(b)
     return h.digest()
 
 
