@@ -2168,6 +2168,29 @@ def q_text_token_freq(spark, sf_dir):
     return token_frequency_stats(d, "text", "doc_id", top_k=10)
 
 
+@q("sample_mixture_det", """
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+flo AS (SELECT min(n) AS m FROM cnt)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN cnt USING (lang), flo
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 13))::UBIGINT
+      / 4503599627370496.0
+      < least(1.0, CAST(flo.m AS DOUBLE) / CAST(cnt.n AS DOUBLE))
+""")
+def q_sample_mixture_det(spark, sf_dir):
+    # corpus mixing: equalize languages (down-sample every lang to the
+    # smallest lang's size in expectation) with the md5-derived uniform
+    # — rates are exact int/int divisions, so both engines make
+    # identical keep/drop decisions row by row
+    from tsv_utils_spark.operators.sample import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("double") / F.lit(2.0 ** 52))
+    return mixture_sample(d, "lang", "equalize", u_expr=u) \
+        .select("doc_id", "lang")
+
+
 @q("pack_sequences_det", """
 WITH rt AS (
   SELECT doc_id, n_chars,
@@ -2312,8 +2335,8 @@ def q_pipeline_e2e(spark, sf_dir):
 # window.  Previously-witnessed queries follow in registration order.
 _FRONT_OF_BOARD = [
     # round-4 additions (never driver-run)
-    "pipeline_e2e", "pack_sequences_det", "pack_segments_det",
-    "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
+    "pipeline_e2e", "sample_mixture_det", "pack_sequences_det",
+    "pack_segments_det", "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
     "code_rollup_paths", "code_kll_sizes", "code_bloom_anti",
     "code_salted_stats", "code_sha_invariant",
     "cm_mode_day", "text_compression", "text_boilerplate",

@@ -725,3 +725,39 @@ class TestRunningTotalAndPacking:
             assert (g["seq_pos"].iloc[1:].to_numpy() ==
                     (g["seq_pos"] + g["slice_len"]).iloc[:-1]
                     .to_numpy()).all()
+
+    def test_mixture_equalize_and_dict_targets(self, tables, spark):
+        from tsv_utils_spark.operators.sample import mixture_sample
+
+        d = tables["documents"]
+        counts = {r["lang"]: r["count"] for r in
+                  d.groupBy("lang").count().collect()}
+        floor_n = min(counts.values())
+        u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 13), 16, 10).cast("double")
+             / F.lit(2.0 ** 52))
+        out = mixture_sample(d, "lang", "equalize", u_expr=u) \
+            .groupBy("lang").count().collect()
+        got = {r["lang"]: r["count"] for r in out}
+        for lang, n in got.items():
+            # expectation floor_n per lang; Bernoulli spread is wide at
+            # small n — just check the downsampling direction + the
+            # floor lang keeps everything
+            assert n <= counts[lang]
+        if floor_n >= 5:
+            floor_lang = min(counts, key=counts.get)
+            assert got[floor_lang] == counts[floor_lang]  # rate 1.0
+        # dict targets: one lang to ~half, another dropped
+        langs = sorted(counts)
+        t = {langs[0]: counts[langs[0]] // 2}
+        out2 = mixture_sample(d, "lang", t, u_expr=u) \
+            .groupBy("lang").count().collect()
+        got2 = {r["lang"]: r["count"] for r in out2}
+        assert set(got2) == {langs[0]}  # others dropped (target 0)
+        assert got2[langs[0]] <= counts[langs[0]]
+
+    def test_mixture_rejects_bad_targets(self, tables):
+        from tsv_utils_spark.operators.sample import mixture_sample
+
+        with pytest.raises(ValueError, match="targets"):
+            mixture_sample(tables["documents"], "lang", 0.5)

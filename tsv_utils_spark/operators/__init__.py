@@ -3,6 +3,7 @@ from tsv_utils_spark.operators.filter import Predicates, tsv_filter
 from tsv_utils_spark.operators.join import join_filter
 from tsv_utils_spark.operators.uniq import uniq
 from tsv_utils_spark.operators.sample import (
+    mixture_sample,
     sample,
     sample_to_budget,
     stratified_sample,
@@ -38,7 +39,7 @@ from tsv_utils_spark.operators.multimodal import (
 
 __all__ = [
     "Op", "summarize", "Predicates", "tsv_filter", "join_filter", "uniq",
-    "sample", "sample_to_budget", "stratified_sample", "select_fields", "split_by_key", "split_random", "append_tables",
+    "sample", "sample_to_budget", "stratified_sample", "mixture_sample", "select_fields", "split_by_key", "split_random", "append_tables",
     "exact_dedup", "minhash_dedup", "simhash_dedup", "decontaminate",
     "ngram_contamination", "running_total", "pack_sequences", "pack_segments",
     "bloom_semi_join", "bloom_anti_join", "salted_join",

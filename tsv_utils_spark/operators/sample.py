@@ -179,6 +179,36 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.where(u < F.coalesce(frac, F.lit(0.0)))
 
 
+def mixture_sample(df: DataFrame, strata_col: str,
+                   targets: dict | str = "equalize",
+                   seed: int = 2438424139, u_expr=None) -> DataFrame:
+    """Training-data MIXING: down-sample each stratum (source corpus,
+    language, domain) toward a target composition. ``targets`` is
+    either a dict of desired APPROXIMATE row counts per stratum, or
+    ``"equalize"`` (every stratum down-sampled to the size of the
+    smallest — the standard balanced-mixture recipe). Rates are
+    target/count capped at 1 (a stratum is never up-sampled; use
+    ``sample_with_replacement`` for that), computed from ONE tiny
+    count aggregate, then applied as a per-stratum Bernoulli filter —
+    the stratified_sample machinery, so with an md5 ``u_expr`` the
+    mixture is exactly replayable cross-engine.
+    """
+    counts = {r["k"]: r["n"] for r in
+              df.groupBy(F.col(strata_col).alias("k"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        return df
+    if targets == "equalize":
+        floor_n = min(counts.values())
+        targets = {k: floor_n for k in counts}
+    elif not isinstance(targets, dict):
+        raise ValueError("targets must be a dict or 'equalize'")
+    fractions = {k: min(1.0, targets.get(k, 0) / n)
+                 for k, n in counts.items() if k is not None}
+    return stratified_sample(df, strata_col, fractions,
+                             seed=seed, u_expr=u_expr)
+
+
 def sample_to_budget(df: DataFrame, weight_col: str, budget: float,
                      order_col: str, materialize: bool = True) -> DataFrame:
     """Greedy prefix under a weight budget: order rows by ``order_col``
