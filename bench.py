@@ -117,9 +117,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _round in range(2):  # interleaved min-of-2 (shared tenancy)
         for name in names:
-            df = qs[name](spark, sf_dir)
+            # construction INSIDE the window: operators with eager
+            # build phases (join_bloom_anti's Bloom construction jobs)
+            # are real work — excluding them understated those queries
+            # through round 3 (methodology corrected round 4; the
+            # affected queries' r4 numbers include ~their build time)
             t0 = time.perf_counter()
-            run_query(df)
+            run_query(qs[name](spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, float("inf")), dt)
     sketch_sec = timings["sketch_pipeline"]
@@ -145,6 +149,8 @@ def main() -> None:
         "code_sketch_sec": code_sec,
         "code_rows": code_rows,
         "sketch_merge_256_partials_ms": merge_ms,
+        "timing_includes_construction": True,  # since round 4 — eager
+        # build phases (Bloom construction) are now inside the window
     }
     print(json.dumps(out))
 

@@ -726,38 +726,75 @@ class TestRunningTotalAndPacking:
                     (g["seq_pos"] + g["slice_len"]).iloc[:-1]
                     .to_numpy()).all()
 
-    def test_mixture_equalize_and_dict_targets(self, tables, spark):
+
+
+class TestMixtureSample:
+    @staticmethod
+    def _u(doc_id):
+        import hashlib
+
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:13], 16) / 2.0 ** 52
+
+    def test_equalize_matches_exact_replication(self, tables, spark):
+        # deterministic u => the kept SET is a fixed function of the
+        # data; replicate the whole operator in pure Python and compare
+        # row for row
+        from tsv_utils_spark.operators.sample import mixture_sample
+
+        d = tables["documents"]
+        u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 13), 16, 10).cast("double")
+             / F.lit(2.0 ** 52))
+        got = {r["doc_id"] for r in
+               mixture_sample(d, "lang", "equalize", u_expr=u)
+               .select("doc_id").collect()}
+        pdf = d.select("doc_id", "lang").toPandas()
+        counts = pdf["lang"].value_counts().to_dict()
+        floor_n = min(counts.values())
+        want = {int(r.doc_id) for r in pdf.itertuples()
+                if self._u(r.doc_id) < min(1.0, floor_n / counts[r.lang])}
+        assert got == want
+        # the floor stratum is kept in full (rate exactly 1.0)
+        floor_lang = min(counts, key=counts.get)
+        kept_floor = {int(r.doc_id) for r in pdf.itertuples()
+                      if r.lang == floor_lang and int(r.doc_id) in got}
+        assert len(kept_floor) == counts[floor_lang]
+
+    def test_dict_targets_drop_unlisted_strata(self, tables, spark):
         from tsv_utils_spark.operators.sample import mixture_sample
 
         d = tables["documents"]
         counts = {r["lang"]: r["count"] for r in
                   d.groupBy("lang").count().collect()}
-        floor_n = min(counts.values())
+        lang0 = sorted(counts)[0]
         u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
                                 1, 13), 16, 10).cast("double")
              / F.lit(2.0 ** 52))
-        out = mixture_sample(d, "lang", "equalize", u_expr=u) \
-            .groupBy("lang").count().collect()
-        got = {r["lang"]: r["count"] for r in out}
-        for lang, n in got.items():
-            # expectation floor_n per lang; Bernoulli spread is wide at
-            # small n — just check the downsampling direction + the
-            # floor lang keeps everything
-            assert n <= counts[lang]
-        if floor_n >= 5:
-            floor_lang = min(counts, key=counts.get)
-            assert got[floor_lang] == counts[floor_lang]  # rate 1.0
-        # dict targets: one lang to ~half, another dropped
-        langs = sorted(counts)
-        t = {langs[0]: counts[langs[0]] // 2}
-        out2 = mixture_sample(d, "lang", t, u_expr=u) \
-            .groupBy("lang").count().collect()
-        got2 = {r["lang"]: r["count"] for r in out2}
-        assert set(got2) == {langs[0]}  # others dropped (target 0)
-        assert got2[langs[0]] <= counts[langs[0]]
+        out = mixture_sample(d, "lang", {lang0: counts[lang0]},
+                             u_expr=u)
+        got = {r["lang"] for r in out.select("lang").distinct().collect()}
+        assert got == {lang0}          # documented destructive default
+        assert out.count() == counts[lang0]  # rate 1.0 keeps all
 
-    def test_mixture_rejects_bad_targets(self, tables):
+    def test_null_stratum_never_sets_the_floor(self, spark):
         from tsv_utils_spark.operators.sample import mixture_sample
 
+        rows = [(i, "en") for i in range(100)] \
+            + [(100 + i, "fr") for i in range(80)] \
+            + [(200, None), (201, None)]
+        df = spark.createDataFrame(rows, "doc_id int, lang string")
+        out = mixture_sample(df, "lang", "equalize",
+                             u_expr=F.lit(0.0))  # u=0 keeps rate>0 rows
+        got = out.groupBy("lang").count().collect()
+        by = {r["lang"]: r["count"] for r in got}
+        # floor = 80 (fr), NOT 2 (the NULL group); NULL rows dropped
+        assert by.get("fr") == 80 and by.get("en") == 100
+        assert None not in by
+
+    def test_rejects_bad_targets_before_any_job(self, spark):
+        from tsv_utils_spark.operators.sample import mixture_sample
+
+        empty = spark.createDataFrame([], "doc_id int, lang string")
         with pytest.raises(ValueError, match="targets"):
-            mixture_sample(tables["documents"], "lang", 0.5)
+            mixture_sample(empty, "lang", 0.5)  # validated pre-aggregate

@@ -80,9 +80,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             df = fn(spark, sf_dir)
             spark_cols = df.columns
@@ -152,8 +154,12 @@ def main():
         else:
             print(f"ok   {name}: {len(spark_rows)} rows match oracle")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries ok; "
-          f"{len(failures)} failures")
+    # denominator = queries actually RUN: a name-filtered invocation
+    # must not print a full-registry green line for queries it skipped
+    skipped = len(qs) - n_run
+    print(f"\n{n_run - len(failures)}/{n_run} queries ok; "
+          f"{len(failures)} failures"
+          + (f" ({skipped} not selected)" if skipped else ""))
     if failures:
         sys.exit(1)
 

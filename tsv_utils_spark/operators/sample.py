@@ -192,19 +192,27 @@ def mixture_sample(df: DataFrame, strata_col: str,
     count aggregate, then applied as a per-stratum Bernoulli filter —
     the stratified_sample machinery, so with an md5 ``u_expr`` the
     mixture is exactly replayable cross-engine.
+
+    Like ``stratified_sample``, strata ABSENT from a dict ``targets``
+    are DROPPED ENTIRELY (target 0) — passing {'web': 1e7} keeps only
+    web rows; list every stratum you want retained. NULL strata are
+    always dropped and never influence the equalize floor.
     """
+    if targets != "equalize" and not isinstance(targets, dict):
+        raise ValueError("targets must be a dict or 'equalize'")
     counts = {r["k"]: r["n"] for r in
               df.groupBy(F.col(strata_col).alias("k"))
-                .agg(F.count(F.lit(1)).alias("n")).collect()}
+                .agg(F.count(F.lit(1)).alias("n")).collect()
+              if r["k"] is not None}
     if not counts:
-        return df
+        return df.limit(0)
     if targets == "equalize":
+        # floor over REAL strata only: a tiny NULL group must not
+        # collapse every language to its size
         floor_n = min(counts.values())
         targets = {k: floor_n for k in counts}
-    elif not isinstance(targets, dict):
-        raise ValueError("targets must be a dict or 'equalize'")
     fractions = {k: min(1.0, targets.get(k, 0) / n)
-                 for k, n in counts.items() if k is not None}
+                 for k, n in counts.items()}
     return stratified_sample(df, strata_col, fractions,
                              seed=seed, u_expr=u_expr)
 
