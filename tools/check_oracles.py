@@ -156,6 +156,10 @@ def main():
 
     # denominator = queries actually RUN: a name-filtered invocation
     # must not print a full-registry green line for queries it skipped
+    unknown = only - set(qs)
+    if unknown:
+        print(f"\nERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     skipped = len(qs) - n_run
     print(f"\n{n_run - len(failures)}/{n_run} queries ok; "
           f"{len(failures)} failures"

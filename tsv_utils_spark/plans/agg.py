@@ -242,6 +242,27 @@ _TYPE_MAP = {"double": T.DoubleType, "long": T.LongType,
              "int": T.IntegerType}
 
 
+def _check_typed_tz(df: DataFrame, specs: list) -> None:
+    """Typed cm/bloom over a session-local TIMESTAMP column requires a
+    UTC session: the Arrow kernel materializes such values as
+    tz-AWARE datetimes (canonicalized to naive UTC) while the
+    pandas/salt kernels see naive SESSION-LOCAL datetime64 — under a
+    non-UTC session the same instant would land in two candidate
+    cells. TIMESTAMP_NTZ and DATE are timezone-free and always fine."""
+    risky = [s.col for s in specs
+             if s.op in ("cm", "bloom") and s.params.get("typed")
+             and dict(df.dtypes).get(s.col) == "timestamp"]
+    if not risky:
+        return
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"typed sketch keys over session-local TIMESTAMP column(s) "
+            f"{risky} need spark.sql.session.timeZone=UTC (got {tz!r}) "
+            f"— cast to timestamp_ntz, use to_utc_timestamp, or derive "
+            f"a DATE key instead")
+
+
 # ------------------------------------------------------------- the engine
 def sketch_agg(df: DataFrame,
                group_by: list[str],
@@ -263,6 +284,7 @@ def sketch_agg(df: DataFrame,
     WIDE multi-column string keys. Collision risk ~n_groups^2 / 2^65.
     """
     group_by = list(group_by)
+    _check_typed_tz(df, specs)
     if hash_group_keys is None:
         hash_group_keys = False
 
@@ -348,6 +370,7 @@ def sketch_partials(df: DataFrame,
     per-day / per-repo / global forever after from blobs.
     """
     group_by = list(group_by)
+    _check_typed_tz(df, specs)
     if not group_by:
         raise ValueError("sketch_partials needs at least one group key "
                          "(use sketch_agg for global aggregation)")

@@ -78,6 +78,12 @@ def _needs_canon(c) -> bool:
     global _ADDR_RE
     if hasattr(c, "co_code") or isinstance(c, (set, frozenset)):
         return True
+    if isinstance(c, (str, bytes, int, float, complex, bool,
+                      type(None))):
+        # primitive reprs are stable — and a STRING may legitimately
+        # CONTAIN ' at 0x...>' text; collapsing it to its type name
+        # would alias two transforms differing only in that literal
+        return False
     if isinstance(c, (tuple, list)):
         return any(_needs_canon(e) for e in c)
     if isinstance(c, dict):
