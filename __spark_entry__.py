@@ -2178,6 +2178,38 @@ def q_text_token_freq(spark, sf_dir):
     return token_frequency_stats(d, "text", "doc_id", top_k=10)
 
 
+@q("theta_part_overlap", """
+WITH fp AS (SELECT DISTINCT l_returnflag AS f, l_partkey AS p
+            FROM lineitem)
+SELECT a.f AS flag_a, b.f AS flag_b,
+       CAST(count(*) AS BIGINT) AS common_parts
+FROM fp a JOIN fp b ON a.p = b.p AND a.f < b.f
+GROUP BY a.f, b.f
+""")
+def q_theta_part_overlap(spark, sf_dir):
+    # theta/KMV set operations: per-returnflag sketches over l_partkey
+    # built ONCE (one scan, blob table), then pairwise INTERSECTION
+    # cardinalities computed from the sketches alone — the question HLL
+    # cannot answer. k=2^18 exceeds per-group distincts at sf<=0.1, so
+    # every sketch retains all hashes (theta=1) and the overlap counts
+    # are exact — the oracle-exactness regime; at 10^12 files the same
+    # code degrades gracefully to ~1/sqrt(k) relative error.
+    _ensure_shipped(spark)
+    from tsv_utils_spark.plans import sketch_partials
+    from tsv_utils_spark.plans.agg import SketchSpec as _S
+    from tsv_utils_spark.sketches.theta import ThetaKMV
+
+    li = _t(spark, sf_dir, "lineitem")
+    spec = _S("theta", "l_partkey", "parts", {"k": 1 << 18})
+    blobs = sketch_partials(li, ["l_returnflag"], [spec]).collect()
+    sk = {r["l_returnflag"]: ThetaKMV.deserialize(bytes(r["__blob_0"]))
+          for r in blobs}
+    rows = [(a, b, int(round(sk[a].intersect_estimate(sk[b]))))
+            for a in sorted(sk) for b in sorted(sk) if a < b]
+    return spark.createDataFrame(
+        rows, "flag_a string, flag_b string, common_parts bigint")
+
+
 @q("sample_mixture_det", """
 WITH cnt AS (SELECT lang, count(*) AS n FROM documents
              WHERE lang IS NOT NULL GROUP BY lang),
@@ -2347,7 +2379,8 @@ def q_pipeline_e2e(spark, sf_dir):
 # window.  Previously-witnessed queries follow in registration order.
 _FRONT_OF_BOARD = [
     # round-4 additions (never driver-run)
-    "pipeline_e2e", "sample_mixture_det", "pack_sequences_det",
+    "pipeline_e2e", "theta_part_overlap", "sample_mixture_det",
+    "pack_sequences_det",
     "pack_segments_det", "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
     "code_rollup_paths", "code_kll_sizes", "code_bloom_anti",
     "code_salted_stats", "code_sha_invariant",

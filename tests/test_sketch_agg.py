@@ -356,3 +356,27 @@ class TestSketchRollup:
                 sketch_agg(df, ["g"], spec)
         finally:
             spark.conf.set("spark.sql.session.timeZone", old)
+
+    def test_theta_spec_distinct_count_and_rollup(self, tables, spark):
+        import numpy as np
+
+        from tsv_utils_spark.plans import sketch_partials, sketch_rollup
+        from tsv_utils_spark.sketches.theta import ThetaKMV
+
+        li = tables["lineitem"]
+        spec = [SketchSpec("theta", "l_partkey", "uc", {"k": 1 << 18})]
+        out = sketch_agg(li, ["l_returnflag"], spec) \
+            .toPandas().set_index("l_returnflag").sort_index()
+        exact = li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_partkey").alias("uc")) \
+            .toPandas().set_index("l_returnflag").sort_index()
+        # below capacity the theta sketch is exact
+        assert out["uc"].astype(int).tolist() == exact["uc"].tolist()
+        # blob table -> rollup merges to the global sketch exactly
+        fine = sketch_partials(li, ["l_returnflag"], spec)
+        blobs = [ThetaKMV.deserialize(bytes(r["__blob_0"]))
+                 for r in fine.collect()]
+        m = blobs[0]
+        for b in blobs[1:]:
+            m.merge(b)
+        assert int(m.estimate()) == li.select("l_partkey").distinct().count()

@@ -422,3 +422,70 @@ class TestTimezoneCanonicalization:
         naive = datetime.datetime(2024, 3, 1, 12, 0)
         h = hash64(np.asarray([aware, naive, "x", None], dtype=object))
         assert h[0] == h[1]
+
+
+class TestThetaKMV:
+    def test_exact_below_capacity_including_set_ops(self):
+        import numpy as np
+
+        from tsv_utils_spark.sketches.theta import ThetaKMV
+
+        a = ThetaKMV(k=1024)
+        a.update(np.array([f"u{i}" for i in range(300)], dtype=object))
+        b = ThetaKMV(k=1024)
+        b.update(np.array([f"u{i}" for i in range(200, 500)], dtype=object))
+        assert a.estimate() == 300.0 and b.estimate() == 300.0
+        assert a.intersect_estimate(b) == 100.0
+        assert a.difference_estimate(b) == 200.0
+        assert a.union_estimate(b) == 500.0
+
+    def test_error_within_bound_at_capacity(self):
+        import numpy as np
+
+        from tsv_utils_spark.sketches.theta import ThetaKMV
+
+        t = ThetaKMV(k=4096)
+        # real update path: hash64 uniformizes over the FULL 64-bit
+        # space (the estimator's assumption — raw hashes spanning only
+        # part of the space would bias theta)
+        t.update(np.arange(200_000))
+        true = 200_000
+        assert abs(t.estimate() - true) / true < 5 * t.rse
+
+    def test_intersection_estimate_at_capacity(self):
+        import numpy as np
+
+        from tsv_utils_spark.sketches.theta import ThetaKMV
+
+        a = ThetaKMV(k=4096)
+        b = ThetaKMV(k=4096)
+        a.update(np.arange(0, 60_000))
+        b.update(np.arange(30_000, 90_000))  # true overlap 30_000
+        est = a.intersect_estimate(b)
+        assert abs(est - 30_000) / 30_000 < 0.15  # ~several RSE of k=4096
+
+    def test_merge_is_permutation_invariant_and_serde(self):
+        import itertools
+
+        import numpy as np
+
+        from tsv_utils_spark.sketches.theta import ThetaKMV
+
+        chunks = [np.arange(i * 100, i * 100 + 150) for i in range(4)]
+        results = set()
+        for perm in itertools.permutations(range(4)):
+            m = ThetaKMV(k=64)
+            for i in perm:
+                c = ThetaKMV(k=64)
+                c.update(chunks[i])
+                m.merge(ThetaKMV.deserialize(c.serialize()))
+            results.add((m.estimate(), m.hashes.tobytes()))
+        assert len(results) == 1  # identical sketch whatever the order
+
+    def test_k_mismatch_rejected(self):
+        import pytest
+
+        from tsv_utils_spark.sketches.theta import ThetaKMV
+
+        with pytest.raises(ValueError, match="mismatch"):
+            ThetaKMV(k=64).merge(ThetaKMV(k=128))

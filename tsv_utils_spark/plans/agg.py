@@ -48,13 +48,14 @@ from tsv_utils_spark.sketches.countmin import CountMin
 from tsv_utils_spark.sketches.hll import HyperLogLog
 from tsv_utils_spark.sketches.kll import KLL
 from tsv_utils_spark.sketches.tdigest import TDigest
+from tsv_utils_spark.sketches.theta import ThetaKMV
 
 
 @dataclass(frozen=True)
 class SketchSpec:
     """One sketch aggregation over one input column.
 
-    op: 'hll' | 'kll' | 'tdigest' | 'cm' | 'bloom'
+    op: 'hll' | 'kll' | 'tdigest' | 'cm' | 'bloom' | 'theta'
     finalize (op-dependent):
       hll     -> '{out}' double estimate (+ '{out}_exactish' long rounded)
       kll     -> one double col per q in params['quantiles']
@@ -92,11 +93,16 @@ class SketchSpec:
         if self.op == "bloom":
             return BloomFilter(m=self.params.get("m", 1 << 20),
                                k=self.params.get("k", 7))
+        if self.op == "theta":
+            # KMV theta: distinct count + set operations; exact below
+            # capacity k (the oracle-exactness regime, like HLL sparse)
+            return ThetaKMV(k=self.params.get("k", 4096))
         raise ValueError(f"bad sketch op {self.op!r}")
 
     def deserialize(self, blob: bytes):
         out = {"hll": HyperLogLog, "kll": KLL, "tdigest": TDigest,
-               "cm": CountMin, "bloom": BloomFilter}[self.op].deserialize(blob)
+               "cm": CountMin, "bloom": BloomFilter,
+               "theta": ThetaKMV}[self.op].deserialize(blob)
         if self.op == "hll" and self.params.get("sparse_limit") is not None:
             # the blob doesn't carry the limit; restore the spec's so
             # sparse-exact unions during merge keep the requested range
@@ -107,7 +113,7 @@ class SketchSpec:
     def input_expr(self, idx: int):
         name = f"__in_{idx}"
         c = F.col(self.col)
-        if self.op == "hll":
+        if self.op in ("hll", "theta"):
             # hash JVM-side; NULL -> sentinel 0 (dropped in update) so
             # distinct-count semantics match countDistinct. The sentinel —
             # not SQL NULL — keeps the Arrow column non-null int64: a
@@ -136,7 +142,7 @@ class SketchSpec:
         """Vectorized update from a raw numpy slice of the input column."""
         if arr.size == 0:
             return
-        if self.op == "hll":
+        if self.op in ("hll", "theta"):
             if arr.dtype != np.int64:
                 # guard: a float64-converted hash column would be corrupt
                 arr = pd.Series(arr).dropna().to_numpy()
@@ -144,7 +150,8 @@ class SketchSpec:
                     raise TypeError(
                         f"hll input must be int64 hashes, got {arr.dtype}")
             h = arr.view(np.uint64)
-            h = h[h != 0]  # drop the NULL sentinel
+            h = h[h != 0]  # drop the NULL sentinel (it would also
+            # pollute theta's k-MINIMUM set as a fake smallest hash)
             sketch.update_hashes(h)
         elif self.op in ("kll", "tdigest"):
             vals = arr.astype(np.float64, copy=False)
@@ -155,7 +162,7 @@ class SketchSpec:
 
     # ---- output schema / finalize --------------------------------------
     def output_fields(self) -> list[tuple[str, str]]:
-        if self.op == "hll":
+        if self.op in ("hll", "theta"):
             return [(self.out, "double")]
         if self.op in ("kll", "tdigest"):
             qs = self.params.get("quantiles", [0.5])
@@ -185,7 +192,7 @@ class SketchSpec:
         raise AssertionError(self.op)
 
     def finalize(self, sketch) -> list:
-        if self.op == "hll":
+        if self.op in ("hll", "theta"):
             return [float(sketch.estimate())]
         if self.op in ("kll", "tdigest"):
             qs = self.params.get("quantiles", [0.5])

@@ -130,7 +130,7 @@ def make_arrow_partial_fn(group_cols, in_names, specs, partial_schema,
                 if i in value_based:
                     continue
                 col = batch.column(batch.schema.get_field_index(in_names[i]))
-                if spec.op == "hll":
+                if spec.op in ("hll", "theta"):
                     num_cols[i] = col.to_numpy(zero_copy_only=False) \
                         .astype(np.int64, copy=False)
                 else:

@@ -49,24 +49,40 @@ def ship_package(spark: SparkSession) -> None:
     closures that reference the library's sketch classes deserialize on
     workers even when the driver script lives outside the repo.
     """
+    import hashlib
     import zipfile
 
     import tsv_utils_spark as pkg
 
     pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                sources.append((full, os.path.join(
+                    "tsv_utils_spark", os.path.relpath(full, pkg_dir))))
+    sources.sort(key=lambda t: t[1])
+    # CONTENT-fingerprinted zip name: a stale zip from an earlier run of
+    # older code sitting in /tmp must never be shipped to executors (it
+    # silently pins the whole library to that old version — 'bad sketch
+    # op' errors, or worse, stale semantics under current names)
+    fp = hashlib.sha256()
+    for full, rel in sources:
+        st = os.stat(full)
+        fp.update(f"{rel}:{st.st_mtime_ns}:{st.st_size};".encode())
+    tag = fp.hexdigest()[:12]
     zip_path = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), f"tsv_utils_spark-{pkg.__version__}.zip")
+        os.environ.get("TMPDIR", "/tmp"),
+        f"tsv_utils_spark-{pkg.__version__}-{tag}.zip")
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.join("tsv_utils_spark",
-                                           os.path.relpath(full, pkg_dir))
-                        zf.write(full, rel)
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full, rel in sources:
+                zf.write(full, rel)
+        os.replace(tmp, zip_path)  # atomic: concurrent sessions safe
     spark.sparkContext.addPyFile(zip_path)
 
 

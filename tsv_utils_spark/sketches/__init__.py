@@ -23,6 +23,7 @@ from tsv_utils_spark.sketches.countmin import CountMin
 from tsv_utils_spark.sketches.bloom import BloomFilter
 from tsv_utils_spark.sketches.minhash import MinHash
 from tsv_utils_spark.sketches.simhash import simhash64
+from tsv_utils_spark.sketches.theta import ThetaKMV
 
 __all__ = [
     "hash64",
@@ -34,4 +35,5 @@ __all__ = [
     "BloomFilter",
     "MinHash",
     "simhash64",
+    "ThetaKMV",
 ]
