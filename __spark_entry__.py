@@ -2204,8 +2204,10 @@ def q_theta_part_overlap(spark, sf_dir):
     blobs = sketch_partials(li, ["l_returnflag"], [spec]).collect()
     sk = {r["l_returnflag"]: ThetaKMV.deserialize(bytes(r["__blob_0"]))
           for r in blobs}
-    rows = [(a, b, int(round(sk[a].intersect_estimate(sk[b]))))
-            for a in sorted(sk) for b in sorted(sk) if a < b]
+    rows = [(a, b, c) for a in sorted(sk) for b in sorted(sk) if a < b
+            if (c := int(round(sk[a].intersect_estimate(sk[b])))) > 0]
+    # zero-overlap pairs are omitted to match the oracle's inner-join
+    # row set (a pair sharing no parts produces no join rows)
     return spark.createDataFrame(
         rows, "flag_a string, flag_b string, common_parts bigint")
 

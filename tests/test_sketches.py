@@ -489,3 +489,33 @@ class TestThetaKMV:
 
         with pytest.raises(ValueError, match="mismatch"):
             ThetaKMV(k=64).merge(ThetaKMV(k=128))
+
+    def test_self_intersection_equals_estimate_at_capacity(self):
+        # the threshold is held as an EXACT uint64: a float64 round-trip
+        # could re-include the theta-defining hash and make
+        # a.intersect(a) != a.estimate()
+        import numpy as np
+
+        from tsv_utils_spark.sketches.theta import ThetaKMV
+
+        t = ThetaKMV(k=1024)
+        t.update(np.arange(50_000))
+        assert t.intersect_estimate(t) == t.estimate()
+        assert t.difference_estimate(t) == 0.0
+
+    def test_union_rejects_k_mismatch_but_intersect_allows(self):
+        import numpy as np
+        import pytest
+
+        from tsv_utils_spark.sketches.theta import ThetaKMV
+
+        a = ThetaKMV(k=64)
+        a.update(np.arange(1000))
+        b = ThetaKMV(k=256)
+        b.update(np.arange(500, 1500))
+        with pytest.raises(ValueError, match="mismatch"):
+            a.union_estimate(b)
+        # intersect/difference stay valid across capacities (shared
+        # exact threshold)
+        est = a.intersect_estimate(b)
+        assert abs(est - 500) / 500 < 0.5  # k=64 is coarse; just sane

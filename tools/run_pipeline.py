@@ -1,6 +1,7 @@
 """spark-submit entry point for the flagship north-rule pipeline.
 
-    spark-submit --py-files /tmp/tsv_utils_spark-<ver>.zip tools/run_pipeline.py \
+    spark-submit --py-files /tmp/tsv_utils_spark-<ver>-<contenthash>.zip \
+        tools/run_pipeline.py \
         [--rows 8000000] [--checkpoint /tmp/ckpt] [--epochs 8]
 
 (Local runs can just `python tools/run_pipeline.py` — the session factory

@@ -65,24 +65,33 @@ def ship_package(spark: SparkSession) -> None:
                 sources.append((full, os.path.join(
                     "tsv_utils_spark", os.path.relpath(full, pkg_dir))))
     sources.sort(key=lambda t: t[1])
-    # CONTENT-fingerprinted zip name: a stale zip from an earlier run of
-    # older code sitting in /tmp must never be shipped to executors (it
-    # silently pins the whole library to that old version — 'bad sketch
-    # op' errors, or worse, stale semantics under current names)
+    # CONTENT-fingerprinted zip name (actual file BYTES, not mtime+size
+    # — mtime-restoring workflows like rsync -t / git-restore-mtime
+    # would otherwise alias different code): a stale zip from an
+    # earlier run of older code sitting in /tmp must never be shipped
+    # to executors — it silently pins the whole library to that old
+    # version ('bad sketch op' errors, or worse, stale semantics under
+    # current names). The package is a few hundred KB; hashing it costs
+    # milliseconds once per session.
     fp = hashlib.sha256()
     for full, rel in sources:
-        st = os.stat(full)
-        fp.update(f"{rel}:{st.st_mtime_ns}:{st.st_size};".encode())
+        fp.update(rel.encode() + b"\x00")
+        with open(full, "rb") as f:
+            fp.update(f.read())
+        fp.update(b"\x00")
     tag = fp.hexdigest()[:12]
     zip_path = os.path.join(
         os.environ.get("TMPDIR", "/tmp"),
         f"tsv_utils_spark-{pkg.__version__}-{tag}.zip")
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        # unique tmp name: two concurrent sessions writing the SAME
+        # fixed tmp path would interleave and os.replace a corrupt
+        # archive into the fingerprint slot, poisoning it permanently
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for full, rel in sources:
                 zf.write(full, rel)
-        os.replace(tmp, zip_path)  # atomic: concurrent sessions safe
+        os.replace(tmp, zip_path)  # atomic publish
     spark.sparkContext.addPyFile(zip_path)
 
 

@@ -21,6 +21,14 @@ HLL sparse phase uses for exact oracles. Merge = set-union + retrim
 
 Error: relative standard error ~ 1/sqrt(k - 1) for estimates at
 capacity; intersections inherit the rate from the retained overlap.
+
+HASH-DOMAIN CONTRACT: set operations only make sense between sketches
+whose items were hashed by the SAME hash family. Sketches built through
+the Spark pipeline (``SketchSpec('theta')`` — items hashed JVM-side
+with xxhash64) and sketches built directly with ``update()`` (Python
+``hash64``) live in DISJOINT hash domains: intersecting across them
+silently returns ~0. Build every sketch you intend to combine through
+the same path.
 """
 
 from __future__ import annotations
@@ -71,12 +79,19 @@ class ThetaKMV:
         return (self.k - 1) / self.theta
 
     def _joint(self, other: "ThetaKMV"):
-        th = min(self.theta, other.theta)
-        bound = np.uint64(int(th * _TWO64)) if th < 1.0 else None
-        a = self.hashes if bound is None else self.hashes[self.hashes < bound]
-        b = other.hashes if bound is None else \
-            other.hashes[other.hashes < bound]
-        return th, a, b
+        """(theta, retained-below-threshold hashes of both sides), with
+        the threshold held as an EXACT uint64 — a float64 round-trip of
+        a value near 2^64 can be off by ~1024 ulps, occasionally
+        re-including the theta-defining hash itself (which would make
+        self.intersect_estimate(self) disagree with estimate())."""
+        bounds = [s.hashes[-1] for s in (self, other)
+                  if s.hashes.size >= s.k]
+        if not bounds:
+            return 1.0, self.hashes, other.hashes
+        bound = min(bounds)
+        th = float(bound) / _TWO64
+        return (th, self.hashes[self.hashes < bound],
+                other.hashes[other.hashes < bound])
 
     def intersect_estimate(self, other: "ThetaKMV") -> float:
         th, a, b = self._joint(other)
@@ -88,6 +103,12 @@ class ThetaKMV:
         return np.setdiff1d(a, b).size / th
 
     def union_estimate(self, other: "ThetaKMV") -> float:
+        # unlike intersect/difference (valid across capacities via the
+        # shared threshold), a union at MIXED k would treat the smaller
+        # sketch's discarded hashes as nonexistent and undercount
+        # arbitrarily — same-k is required, as in merge()
+        if other.k != self.k:
+            raise ValueError("theta k mismatch")
         m = ThetaKMV(k=self.k)
         m.update_hashes(self.hashes)
         m.update_hashes(other.hashes)
