@@ -389,6 +389,37 @@ class TestTransformFingerprint:
         assert _transform_fingerprint(ns1["tf"]) != \
             _transform_fingerprint(ns2["tf"])
 
+    def test_swapped_global_name_changes_fingerprint(self):
+        # bytecode loads globals BY INDEX into co_names, so min(xs) and
+        # max(xs) compile to identical co_code + co_consts — only the
+        # name tuple differs. Pre-fix these were fingerprint-equal and a
+        # resume silently reused stale epoch results (ADVICE r4).
+        from tsv_utils_spark.plans.checkpoint import _transform_fingerprint
+
+        ns1, ns2 = {}, {}
+        exec("def tf(xs):\n    return min(xs)\n", ns1)
+        exec("def tf(xs):\n    return max(xs)\n", ns2)
+        assert ns1["tf"].__code__.co_code == ns2["tf"].__code__.co_code
+        assert ns1["tf"].__code__.co_consts == ns2["tf"].__code__.co_consts
+        assert _transform_fingerprint(ns1["tf"]) != \
+            _transform_fingerprint(ns2["tf"])
+
+    def test_swapped_freevar_shape_changes_fingerprint(self):
+        from tsv_utils_spark.plans.checkpoint import _transform_fingerprint
+
+        src1 = ("def mk(lo, hi):\n"
+                "    def tf(x):\n        return lo\n"
+                "    return tf\n")
+        src2 = ("def mk(lo, hi):\n"
+                "    def tf(x):\n        return hi\n"
+                "    return tf\n")
+        ns1, ns2 = {}, {}
+        exec(src1, ns1)
+        exec(src2, ns2)
+        f1, f2 = ns1["mk"](1, 2), ns2["mk"](1, 2)
+        assert f1.__code__.co_code == f2.__code__.co_code
+        assert _transform_fingerprint(f1) != _transform_fingerprint(f2)
+
     def test_object_with_address_repr_is_stable(self):
         from tsv_utils_spark.plans.checkpoint import _const_repr
 

@@ -671,6 +671,25 @@ class TestRunningTotalAndPacking:
             assert r["cum_excl"] == cum
             cum += r["w"] or 0
 
+    def test_running_total_nullable_int64_exact_past_2_53(self, spark):
+        # ADVICE r4: a NULLABLE int column reaches pandas as float64
+        # (NaN for NULLs) and fillna().astype('int64') round-trips
+        # through float — inexact above 2^53. Weights near 2^60 with a
+        # NULL in the column must still sum bit-exactly.
+        from tsv_utils_spark.operators.pack import running_total
+
+        big = (1 << 60) + 1  # not representable in float64
+        df = spark.createDataFrame(
+            [(1, big), (2, None), (3, big), (4, 7)],
+            "id int, w bigint") \
+            .withColumn("__ord", F.md5(F.col("id").cast("string")))
+        rows = sorted(running_total(df, "w", "__ord").collect(),
+                      key=lambda r: r["__ord"])
+        cum = 0
+        for r in rows:
+            assert r["cum_excl"] == cum, (r, cum)
+            cum += r["w"] or 0
+
     def test_pack_sequences_boundaries_and_straddlers(self, spark):
         from tsv_utils_spark.operators.pack import pack_sequences
 

@@ -145,6 +145,42 @@ class TestSimilarity:
         a = set(zip(approx["query_id"], approx["neighbor_id"]))
         assert len(e & a) / len(e) >= 0.4
 
+    def test_ivf_recall_on_cluster_sorted_corpus(self, spark):
+        """Worst case for naive limit()-based centroid training: the
+        corpus is PHYSICALLY ordered by cluster (the normal layout of a
+        100 TB corpus clustered by source), so the first partitions hold
+        only cluster 0. The seeded hash-ordered sample must still train
+        centroids representative of ALL clusters, keeping recall for
+        queries from the last cluster above the gate — even with a
+        sample_size smaller than one cluster."""
+        rng = np.random.default_rng(11)
+        dim, per, ncl = 16, 300, 3
+        centers = np.eye(ncl, dim, dtype=np.float32) * 4.0
+        rows = []
+        for c in range(ncl):
+            pts = centers[c] + 0.3 * rng.standard_normal(
+                (per, dim)).astype(np.float32)
+            for i, v in enumerate(pts):
+                rows.append((c * per + i, v.tolist()))
+        corpus = (spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+            .repartitionByRange(6, "vec_id")
+            .sortWithinPartitions("vec_id"))
+        # queries: noisy copies drawn from the LAST cluster only
+        qrows = []
+        for base in range(2 * per, 2 * per + 15):
+            v = np.asarray(rows[base][1], dtype=np.float32)
+            qrows.append((base + 100_000,
+                          (v + 0.1 * rng.standard_normal(dim)
+                           .astype(np.float32)).tolist()))
+        q = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+        exact = cosine_topk(corpus, q, k=5).toPandas()
+        approx = ivf_topk(corpus, q, k=5, n_cells=6, nprobe=2,
+                          sample_size=200).toPandas()
+        e = set(zip(exact["query_id"], exact["neighbor_id"]))
+        a = set(zip(approx["query_id"], approx["neighbor_id"]))
+        assert len(e & a) / len(e) >= 0.6, len(e & a) / len(e)
+
 
 class TestCodecs:
     def test_bmp_roundtrip_gray_and_rgb(self):
@@ -612,6 +648,30 @@ class TestConnectedComponents:
         plan = labels._jdf.queryExecution().optimizedPlan().toString()
         assert len(plan) < 2000, f"plan unexpectedly deep: {len(plan)} chars"
 
+    def test_reliable_checkpoint_path(self, spark, tmp_path):
+        """checkpoint_dir switches rounds from executor-local blocks to
+        reliable checkpoint() files (survives executor death on a real
+        cluster). Same components either way, and the checkpoint dir must
+        actually receive RDD checkpoint data."""
+        import os
+
+        import pandas as pd
+
+        from tsv_utils_spark.operators.dedup import connected_components
+
+        n = 300
+        pairs = spark.createDataFrame(pd.DataFrame(
+            {"id_a": list(range(n)) + [500],
+             "id_b": list(range(1, n + 1)) + [501]}))
+        ckdir = str(tmp_path / "cc_reliable")
+        labels = connected_components(pairs, max_iter=30,
+                                      checkpoint_dir=ckdir)
+        out = labels.toPandas().set_index("id")
+        assert (out.loc[range(n + 1), "component"] == 0).all()
+        assert out.loc[501, "component"] == 500
+        wrote = any(files for _, _, files in os.walk(ckdir))
+        assert wrote, "reliable checkpoint dir is empty"
+
 
 class TestDistributedIds:
     def test_matches_window_rank(self, spark):
@@ -723,6 +783,22 @@ class TestDecontaminateHardening:
         out = decontaminate(train.unionByName(bad), heldout, "text",
                             "doc_id", mode="near", threshold=0.5)
         with pytest.raises(Exception, match="negative train doc_id"):
+            out.collect()
+
+    def test_near_mode_rejects_null_ids_at_runtime(self, spark):
+        # ADVICE r4: NULL < 0 is NULL -> the otherwise branch, so a
+        # NULL-id row would silently drop out of the band joins and a
+        # NULL-id train doc could never be flagged as leaked. NULL must
+        # raise like negatives do.
+        from tsv_utils_spark.operators.dedup import decontaminate
+
+        train, heldout = self._corpus(spark)
+        bad = spark.createDataFrame(
+            [(None, "some other novel training text about gardening")],
+            "doc_id bigint, text string")
+        out = decontaminate(train.unionByName(bad), heldout, "text",
+                            "doc_id", mode="near", threshold=0.5)
+        with pytest.raises(Exception, match="NULL/negative train doc_id"):
             out.collect()
 
     def test_near_mode_validates_heldout_id_dtype(self, spark):

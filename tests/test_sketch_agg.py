@@ -334,6 +334,38 @@ class TestSketchRollup:
         with pytest.raises(ValueError, match="not in blob table"):
             sketch_rollup(fine, ["nope"], specs)
 
+    def test_salt_mode_typed_timestamp_roundtrip(self, spark):
+        """mode='salt' runs the pandas kernel, whose factorized uniq
+        arrays are datetime64[ns] — .tolist() on those yields raw
+        epoch-ns ints, which (pre-fix) split candidate keys between int
+        (pandas path) and datetime (Arrow path) across merged partials
+        and could finalize a typed mode as a raw int. The salted result
+        must agree with the map-mode result and stay a real timestamp."""
+        import datetime
+
+        df = spark.range(300).selectExpr(
+            "cast(id % 2 as string) as g",
+            "timestamp'2024-03-01 12:00:00' + "
+            "make_interval(0,0,0,0,cast(id % 3 as int),0,0) as ts")
+        spec = [SketchSpec("cm", "ts", "mode_ts",
+                           {"finalize": "mode", "typed": True,
+                            "out_type": "timestamp"}),
+                SketchSpec("cm", "ts", "mode_n",
+                           {"finalize": "mode_count", "typed": True})]
+        for m in ("map", "salt"):
+            out = sketch_agg(df, ["g"], spec, mode=m,
+                             salt_partitions=4).toPandas().set_index("g")
+            assert str(out["mode_ts"].dtype).startswith("datetime64"), m
+            for g in ("0", "1"):
+                v = out.loc[g, "mode_ts"]
+                assert isinstance(v, (datetime.datetime,
+                                      __import__("pandas").Timestamp)), \
+                    (m, type(v))
+                # id%3==0 is the most frequent residue -> 12:00:00 wins
+                assert v.to_pydatetime().replace(tzinfo=None) == \
+                    datetime.datetime(2024, 3, 1, 12, 0, 0), (m, g, v)
+                assert out.loc[g, "mode_n"] == 50, (m, g)
+
     def test_typed_timestamp_requires_utc_session(self, spark):
         import pytest
 

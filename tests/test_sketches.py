@@ -223,6 +223,29 @@ class TestCountMin:
         assert cm.count("c") == 7
         assert cm.mode() == ("a", 500)
 
+    def test_datetime64_batch_keys_as_datetime(self):
+        # ADVICE r4: datetime64[ns].tolist() yields raw epoch-ns ints —
+        # a raw datetime64 batch (the public-API / pandas-kernel shape)
+        # must produce the SAME candidate keys as the object-datetime
+        # path (Arrow kernel / re-score), or the same instant splits
+        # into two candidates across merged partials and a typed mode
+        # can finalize as an int.
+        import datetime
+
+        batch = np.array(["2024-03-01T12:00", "2024-03-01T13:00",
+                          "2024-03-01T12:00"], dtype="datetime64[ns]")
+        a = CountMin(depth=3, width=256)
+        a.update(batch)
+        b = CountMin(depth=3, width=256)
+        b.update(np.asarray(
+            [datetime.datetime(2024, 3, 1, 12),
+             datetime.datetime(2024, 3, 1, 13),
+             datetime.datetime(2024, 3, 1, 12)], dtype=object))
+        assert all(isinstance(k, datetime.datetime) for k in a.candidates)
+        assert set(a.candidates) == set(b.candidates)
+        merged = a.merge(b)
+        assert merged.count(datetime.datetime(2024, 3, 1, 12)) == 4
+
     def test_overestimate_bound(self):
         cm = CountMin(depth=5, width=1 << 12)
         zipf = RNG.zipf(1.5, size=50_000)

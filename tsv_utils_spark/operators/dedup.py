@@ -108,12 +108,15 @@ def decontaminate(train: DataFrame, heldout: DataFrame, content_col: str,
     # extra scan), because a negative train id would silently collide
     # with the mapped heldout space and corrupt the joins.
     def checked(c, side):
+        # NULL ids must raise too: NULL < 0 is NULL -> otherwise branch,
+        # and a NULL id then silently drops out of the band joins, so a
+        # NULL-id train doc could never be flagged as leaked.
         return F.when(
-            c < 0,
+            c.isNull() | (c < 0),
             F.raise_error(F.concat(
-                F.lit(f"decontaminate(mode='near'): negative {side} "
+                F.lit(f"decontaminate(mode='near'): NULL/negative {side} "
                       f"{id_col} "),
-                c.cast("string"),
+                F.coalesce(c.cast("string"), F.lit("NULL")),
                 F.lit(" collides with the disjoint held-out id space")))
         ).otherwise(c)
 
@@ -311,7 +314,8 @@ def minhash_signatures(df: DataFrame, content_col: str, id_col: str,
 def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
                   k: int = 128, bands: int = 16, shingle_n: int = 3,
                   threshold: float = 0.8,
-                  max_bucket_size: int | None = 10_000) -> DataFrame:
+                  max_bucket_size: int | None = 10_000,
+                  checkpoint_dir: str | None = None) -> DataFrame:
     """Near-dup clusters via MinHash-LSH with exact-Jaccard verification.
 
     Returns (id_col, dup_of) pairs where dup_of is the minimum doc id of the
@@ -349,7 +353,8 @@ def minhash_dedup(df: DataFrame, content_col: str, id_col: str,
 
     # representative = min id in the verified near-dup component (full
     # transitive closure via iterative min-propagation)
-    comps = connected_components(verified.select("id_a", "id_b"))
+    comps = connected_components(verified.select("id_a", "id_b"),
+                                 checkpoint_dir=checkpoint_dir)
     return comps.where(F.col("id") != F.col("component")) \
         .select(F.col("id").alias(id_col), F.col("component").alias("dup_of"))
 
@@ -461,7 +466,8 @@ def embedding_dedup(df: DataFrame, vec_col: str, id_col: str,
     return j.select("id_a", "id_b", cos).where(F.col("score") >= threshold)
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Transitive closure of near-dup pairs: (id, component) where
     component = min id reachable.
 
@@ -470,20 +476,36 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     step that makes long chains converge in O(log diameter) rounds instead
     of O(diameter) (the large-star idea of Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14). Labels are
-    localCheckpoint-ed every round, so plan depth and recompute cost stay
+    checkpointed every round, so plan depth and recompute cost stay
     CONSTANT per round rather than accumulating lineage quadratically,
     and the convergence probe is a cheap filter over the already-
     materialized round (labels only ever decrease: no decrease anywhere
     means every edge is label-consistent and every pointer is a root —
-    converged)."""
+    converged).
+
+    By default rounds use ``localCheckpoint`` (executor-local blocks —
+    fast, but lost if an executor dies, killing a multi-hour job
+    mid-iteration). For cluster runs pass ``checkpoint_dir`` (an
+    HDFS/object-store path): rounds then use RELIABLE ``checkpoint()``
+    against it, surviving executor loss at the cost of one write+read
+    of the label table per round."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist_round(df):
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (edges.select(F.col("a").alias("id"))
-              .unionByName(edges.select(F.col("b").alias("id")))
-              .distinct()
-              .withColumn("component", F.col("id"))
-              .localCheckpoint(eager=True))
+    labels = _persist_round(
+        edges.select(F.col("a").alias("id"))
+             .unionByName(edges.select(F.col("b").alias("id")))
+             .distinct()
+             .withColumn("component", F.col("id")))
     for _ in range(max_iter):
         # (1) min over neighbors' current labels, propagated across edges
         prop = (edges.join(labels.withColumnRenamed("id", "b")
@@ -500,12 +522,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         # so every label value has a row; left join + coalesce for safety)
         jump = stepped.select(F.col("id").alias("__jid"),
                               F.col("component").alias("__jcomp"))
-        new_labels = (stepped.join(
+        new_labels = _persist_round(stepped.join(
             jump, stepped["component"] == jump["__jid"], "left")
             .select("id", "__old",
                     F.least(F.coalesce("__jcomp", "component"), "component")
-                     .alias("component"))
-            .localCheckpoint(eager=True))
+                     .alias("component")))
         changed = (new_labels.where(F.col("component") < F.col("__old"))
                    .limit(1).count())
         labels = new_labels.drop("__old")

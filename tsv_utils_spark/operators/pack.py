@@ -65,8 +65,16 @@ def running_total(df: DataFrame, weight_col: str, order_col: str,
     integral = dict(df.dtypes)[weight_col] in _INT_TYPES
     acc_t = "long" if integral else "double"
     tagged = _hex_buckets(df, order_col, buckets, "running_total")
+    # NULL-coalesce + widen the weight JVM-side: a NULLABLE int column
+    # reaches pandas as float64 (NaN for NULLs), and fillna().astype
+    # ('int64') round-trips through float — inexact above 2^53, silently
+    # breaking the bit-exact int64 contract. __w64 arrives non-null
+    # int64 (or float64) and is dropped before returning.
+    tagged = tagged.withColumn(
+        "__w64", F.coalesce(F.col(weight_col).cast(acc_t),
+                            F.lit(0).cast(acc_t)))
     sums = (tagged.groupBy("__bkt")
-                  .agg(F.sum(F.col(weight_col).cast(acc_t)).alias("__w"))
+                  .agg(F.sum("__w64").alias("__w"))
                   .orderBy("__bkt").collect())
     offsets, acc = {}, 0 if integral else 0.0
     for r in sums:
@@ -79,8 +87,9 @@ def running_total(df: DataFrame, weight_col: str, order_col: str,
         off = boff.value.get(int(pdf["__bkt"].iloc[0]),
                              0 if integral else 0.0)
         pdf = pdf.sort_values(order_col, kind="mergesort")
-        w = pdf[weight_col].fillna(0).astype(np_t).to_numpy()
-        pdf = pdf.drop(columns=["__bkt"])
+        w = pdf["__w64"].to_numpy()
+        assert w.dtype == np_t, f"weight arrived as {w.dtype}"
+        pdf = pdf.drop(columns=["__bkt", "__w64"])
         pdf[out_col] = off + w.cumsum() - w
         return pdf
 

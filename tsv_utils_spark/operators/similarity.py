@@ -100,16 +100,18 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     planes: int = 12, tables: int = 8, seed: int = 42,
                     exclude_self: bool = True,
-                    max_bucket_size: int | None = None) -> DataFrame:
+                    max_bucket_size: int | None = 10_000) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH bucketing.
 
     Candidate generation is equi-joins on (table, bucket); exact cosine is
     computed only on candidates. P(bucket match in one table) =
     (1 - theta/pi)^planes for angle theta — tables trade recall for cost.
-    ``max_bucket_size`` (opt-in — it trades recall) drops degenerate
-    corpus buckets before the join: a bucket holding a large fraction of
-    the corpus (e.g. near-zero vectors hashing alike) would make the
-    candidate join quadratic.
+    ``max_bucket_size`` (default 10k, matching ``embedding_dedup``) drops
+    degenerate corpus buckets before the join: a bucket holding a large
+    fraction of the corpus (e.g. near-zero vectors hashing alike) would
+    make the candidate join quadratic by default. The trade: queries whose
+    true neighbors sit only in a dropped bucket lose recall for them —
+    pass ``max_bucket_size=None`` to opt out and keep every candidate.
     """
     dim = len(corpus.select(vec_col).first()[0])
     hp = _hyperplanes(dim, planes, tables, seed)
@@ -146,9 +148,19 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """IVF-flat: centroids from a driver-side sample (tiny, one pass of
     Lloyd), corpus partitioned by nearest cell, queries probe ``nprobe``
     cells. The coarse quantizer is broadcast; assignment is one Arrow pass."""
-    samp = np.stack([r[0] for r in
-                     corpus.select(vec_col).limit(sample_size).collect()]
-                    ).astype(np.float32)
+    # Deterministic UNIFORM sample: order by a seeded hash of the id and
+    # take the top N. limit() alone would take the first partitions'
+    # rows — on a corpus clustered by source (the normal 100 TB layout)
+    # that trains centroids on one region and recall collapses silently.
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-N, no full sort shuffle), so this stays cheap at scale.
+    samp = np.stack(
+        [r[0] for r in
+         corpus.select(F.col(vec_col),
+                       F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"))
+               .orderBy("__h").limit(sample_size)
+               .select(vec_col).collect()]
+    ).astype(np.float32)
     rng = np.random.default_rng(seed)
     cents = samp[rng.choice(len(samp), size=min(n_cells, len(samp)),
                             replace=False)]

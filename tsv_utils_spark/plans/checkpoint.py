@@ -136,6 +136,11 @@ def _code_digest(code) -> bytes:
     import hashlib
 
     h = hashlib.sha256(code.co_code)
+    # co_names/co_freevars too: bytecode references globals/closure vars
+    # BY INDEX, so swapping one referenced global for another (min -> max)
+    # leaves co_code identical — only the name tuple distinguishes them.
+    h.update(("\x00".join(code.co_names) + "\x01"
+              + "\x00".join(code.co_freevars)).encode())
     for c in code.co_consts:
         if hasattr(c, "co_code"):
             b = b"\x01" + _code_digest(c)

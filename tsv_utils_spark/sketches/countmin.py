@@ -146,7 +146,17 @@ class CountMin:
         from tsv_utils_spark.sketches.hashing import canon_datetime
 
         est = self.table[np.arange(self.depth)[:, None], idx].min(axis=0)
-        for v, e in zip(uniq.tolist(), est.tolist()):
+        if uniq.dtype.kind == "M":
+            # datetime64[ns].tolist() yields raw epoch-ns ints (ns exceeds
+            # datetime.datetime precision) — the candidate key would then
+            # split between int (this path) and datetime (Arrow-kernel /
+            # re-score path) across merged partials, and a typed-mode
+            # finalize could return an int where out_type='timestamp'.
+            # Down-convert to [us] first so .tolist() gives naive datetimes.
+            keys = uniq.astype("datetime64[us]").tolist()
+        else:
+            keys = uniq.tolist()
+        for v, e in zip(keys, est.tolist()):
             v = canon_datetime(v)
             self.candidates[v] = max(self.candidates.get(v, 0), int(e))
         self._truncate()
