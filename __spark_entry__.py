@@ -2190,26 +2190,30 @@ def q_theta_part_overlap(spark, sf_dir):
     # theta/KMV set operations: per-returnflag sketches over l_partkey
     # built ONCE (one scan, blob table), then pairwise INTERSECTION
     # cardinalities computed from the sketches alone — the question HLL
-    # cannot answer. k=2^18 exceeds per-group distincts at sf<=0.1, so
-    # every sketch retains all hashes (theta=1) and the overlap counts
-    # are exact — the oracle-exactness regime; at 10^12 files the same
-    # code degrades gracefully to ~1/sqrt(k) relative error.
+    # cannot answer. The pairing, blob attachment and estimates all run
+    # DISTRIBUTED (plans/setops.py: keys-only inequality join, blob
+    # equi-joins, mapInPandas estimates — no driver collect of blobs),
+    # so the same code holds at many groups with multi-MB blobs.
+    # k=2^18 exceeds per-group distincts at sf<=0.1, so every sketch
+    # retains all hashes (theta=1) and the overlap counts are exact —
+    # the oracle-exactness regime; at 10^12 files the same code degrades
+    # gracefully to ~1/sqrt(k) relative error.
     _ensure_shipped(spark)
-    from tsv_utils_spark.plans import sketch_partials
+    from tsv_utils_spark.plans import sketch_partials, theta_pairwise
     from tsv_utils_spark.plans.agg import SketchSpec as _S
-    from tsv_utils_spark.sketches.theta import ThetaKMV
 
     li = _t(spark, sf_dir, "lineitem")
     spec = _S("theta", "l_partkey", "parts", {"k": 1 << 18})
-    blobs = sketch_partials(li, ["l_returnflag"], [spec]).collect()
-    sk = {r["l_returnflag"]: ThetaKMV.deserialize(bytes(r["__blob_0"]))
-          for r in blobs}
-    rows = [(a, b, c) for a in sorted(sk) for b in sorted(sk) if a < b
-            if (c := int(round(sk[a].intersect_estimate(sk[b])))) > 0]
+    blobs = sketch_partials(li, ["l_returnflag"], [spec])
+    pw = theta_pairwise(blobs, ["l_returnflag"])
     # zero-overlap pairs are omitted to match the oracle's inner-join
     # row set (a pair sharing no parts produces no join rows)
-    return spark.createDataFrame(
-        rows, "flag_a string, flag_b string, common_parts bigint")
+    return (pw.select(
+        F.col("l_returnflag_a").alias("flag_a"),
+        F.col("l_returnflag_b").alias("flag_b"),
+        F.round("intersect_est").cast("bigint").alias("common_parts"))
+        .where(F.col("common_parts") > 0)
+        .orderBy("flag_a", "flag_b"))
 
 
 @q("sample_mixture_det", """

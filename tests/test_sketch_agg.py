@@ -389,6 +389,48 @@ class TestSketchRollup:
         finally:
             spark.conf.set("spark.sql.session.timeZone", old)
 
+    def test_theta_pairwise_distributed_matches_exact(self, tables, spark):
+        """theta_pairwise (keys-only pairing + blob equi-joins +
+        executor-side estimates) must reproduce the exact pairwise
+        intersection / difference / union counts in the below-capacity
+        regime, pair-for-pair — the distributed replacement for the old
+        collect-all-blobs driver loop."""
+        from tsv_utils_spark.plans import sketch_partials, theta_pairwise
+
+        li = tables["lineitem"]
+        spec = [SketchSpec("theta", "l_partkey", "uc", {"k": 1 << 18})]
+        blobs = sketch_partials(li, ["l_returnflag"], spec)
+        got = theta_pairwise(blobs, ["l_returnflag"]).toPandas() \
+            .set_index(["l_returnflag_a", "l_returnflag_b"]).sort_index()
+        # pairs are unordered, emitted with a < b only
+        assert all(a < b for a, b in got.index)
+        sets = {r["l_returnflag"]: set(r["ps"]) for r in
+                li.groupBy("l_returnflag")
+                  .agg(F.collect_set("l_partkey").alias("ps")).collect()}
+        flags = sorted(sets)
+        n_pairs = len(flags) * (len(flags) - 1) // 2
+        assert len(got) == n_pairs
+        for a in flags:
+            for b in flags:
+                if a >= b:
+                    continue
+                row = got.loc[(a, b)]
+                assert round(row["intersect_est"]) == len(sets[a] & sets[b])
+                assert round(row["diff_ab_est"]) == len(sets[a] - sets[b])
+                assert round(row["diff_ba_est"]) == len(sets[b] - sets[a])
+                assert round(row["union_est"]) == len(sets[a] | sets[b])
+
+    def test_theta_pairwise_rejects_missing_columns(self, tables, spark):
+        import pytest
+
+        from tsv_utils_spark.plans import sketch_partials, theta_pairwise
+
+        li = tables["lineitem"]
+        spec = [SketchSpec("theta", "l_partkey", "uc", {"k": 1 << 12})]
+        blobs = sketch_partials(li, ["l_returnflag"], spec)
+        with pytest.raises(ValueError, match="not in blob table"):
+            theta_pairwise(blobs, ["nope"])
+
     def test_theta_spec_distinct_count_and_rollup(self, tables, spark):
         import numpy as np
 
