@@ -2384,20 +2384,28 @@ def q_pipeline_e2e(spark, sf_dir):
 # locally via tools/check_oracles.py) come first, ahead of the 50-query
 # window.  Previously-witnessed queries follow in registration order.
 _FRONT_OF_BOARD = [
-    # round-4 additions (never driver-run)
-    "pipeline_e2e", "theta_part_overlap", "sample_mixture_det",
-    "pack_sequences_det",
-    "pack_segments_det", "code_hll_langs", "code_cm_heavy_hitters", "code_cm_topk",
-    "code_rollup_paths", "code_kll_sizes", "code_bloom_anti",
-    "code_salted_stats", "code_sha_invariant",
-    "cm_mode_day", "text_compression", "text_boilerplate",
-    "text_token_freq", "ngram_contamination", "join_bucketed",
-    "sample_token_budget_nomat", "decontaminate_near",
-    # round-3 additions that sat at positions 51-79 (never driver-run)
-    "text_profile", "scrub_pii", "extract_urls", "decontaminate_exact",
-    "text_gopher_quality", "text_top_ngram", "grapheme_length",
-    "kll_quantiles", "tdigest_quantiles", "minhash_near_dup",
-    "simhash_near_dup", "ann_lsh", "ann_ivf", "embedding_near_dup",
+    # round-5 rotation: every query below last earned a driver-green row
+    # in r1/r2 (first 15) or r3 (remaining 35); the 50 r4-green queries
+    # rotate to the back.  After this round every query's most recent
+    # driver row is dated r3+ (and r1/r2 stragglers are refreshed).
+    # r1-dated:
+    "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
+    "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
+    # r2-dated:
+    "split_bucket_det", "select_project", "append_union", "number_lines",
+    "values_ordered", "hll_unique_count", "cm_mode",
+    # r3-dated:
+    "filter_field_vs_field", "filter_string_ops", "join_semi", "join_anti",
+    "join_append", "join_write_all", "join_bloom_semi", "join_bloom_anti",
+    "join_salted", "uniq_first", "uniq_equiv", "uniq_number",
+    "uniq_repeated", "sample_bernoulli_det", "sample_distinct_det",
+    "sample_topk_det", "sample_weighted_det", "gen_random_inorder_det",
+    "sample_stratified_det", "sample_token_budget", "filter_empty_blank",
+    "filter_numeric_classes", "format_number", "summarize_retain",
+    "ngram_jaccard_pairs", "uniq_ignore_case", "events_hourly",
+    "events_sessions", "join_append_dup", "tsv_roundtrip",
+    "csv2tsv_roundtrip", "uniq_wholeline", "unique_values_first_seen",
+    "filter_len", "sample_replacement_det",
 ]
 
 
