@@ -182,7 +182,81 @@ class TestSimilarity:
         assert len(e & a) / len(e) >= 0.6, len(e & a) / len(e)
 
 
+class TestFieldListEscapes:
+    # reference escape examples, common/fieldlist.d:71-95: a backslash
+    # makes metacharacters, digits and hyphens literal name characters
+    COLS = ["test id", "run:id", "time-stamp", "001", "100",
+            "a*b", "ab", "axb", "user_time", "max_memory"]
+
+    def test_escaped_digits_are_names_not_positions(self):
+        from tsv_utils_spark.functions.fieldlist import resolve_fields
+
+        assert resolve_fields(self.COLS, [r"\001"]) == ["001"]
+        assert resolve_fields(self.COLS, [r"\100"]) == ["100"]
+        # unescaped digits keep positional meaning (1-based)
+        assert resolve_fields(self.COLS, ["1"]) == ["test id"]
+
+    def test_escaped_glob_meta_is_literal(self):
+        from tsv_utils_spark.functions.fieldlist import resolve_fields
+
+        # unescaped * is a wildcard: matches a*b, ab, axb
+        assert set(resolve_fields(self.COLS, ["a*b"])) == \
+            {"a*b", "ab", "axb"}
+        # escaped * addresses the column literally named a*b
+        assert resolve_fields(self.COLS, [r"a\*b"]) == ["a*b"]
+
+    def test_escaped_hyphen_and_punctuation(self):
+        from tsv_utils_spark.functions.fieldlist import resolve_fields
+
+        assert resolve_fields(self.COLS, [r"time\-stamp"]) == ["time-stamp"]
+        assert resolve_fields(self.COLS, [r"test\ id"]) == ["test id"]
+        assert resolve_fields(self.COLS, [r"run\:id"]) == ["run:id"]
+
+    def test_wildcard_with_embedded_escape(self):
+        from tsv_utils_spark.functions.fieldlist import resolve_fields
+
+        # escaped * literal + unescaped * wildcard in one spec
+        assert resolve_fields(self.COLS, [r"a\**"]) == ["a*b"]
+
+    def test_dangling_backslash_raises(self):
+        from tsv_utils_spark.functions.fieldlist import resolve_fields
+
+        with pytest.raises(ValueError, match="dangling backslash"):
+            resolve_fields(self.COLS, ["abc\\"])
+
+    def test_escaped_name_missing_raises_with_spec(self):
+        from tsv_utils_spark.functions.fieldlist import resolve_fields
+
+        with pytest.raises(KeyError, match="no such field"):
+            resolve_fields(self.COLS, [r"\999"])
+
+
 class TestCodecs:
+    def test_jpeg_decode_via_optional_pillow(self):
+        # try-import path: decode a tiny Pillow-generated JPEG when PIL
+        # exists; in this container (no PIL) the env-gate must raise.
+        import numpy as np
+
+        from tsv_utils_spark.functions.codecs import decode_image
+
+        try:
+            import PIL.Image  # noqa: F401
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        if not have_pil:
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                decode_image(b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg")
+            return
+        import io
+
+        img = PIL.Image.new("RGB", (8, 5), (200, 10, 30))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG")
+        arr = decode_image(buf.getvalue(), "image/jpeg")
+        assert arr.shape == (5, 8, 3)
+        assert abs(int(arr[0, 0, 0]) - 200) < 20  # lossy but close
+
     def test_bmp_roundtrip_gray_and_rgb(self):
         import numpy as np
 
@@ -275,8 +349,11 @@ class TestCodecs:
 
         from tsv_utils_spark.functions.codecs import decode_audio, decode_image
 
-        with pt.raises(NotImplementedError, match="PIL"):
-            decode_image(b"\xff\xd8\xff\xe0....", "image/jpeg")
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            with pt.raises(NotImplementedError, match="Pillow"):
+                decode_image(b"\xff\xd8\xff\xe0....", "image/jpeg")
         with pt.raises(NotImplementedError, match="soundfile"):
             decode_audio(b"\xff\xfb....", "audio/mpeg")
 

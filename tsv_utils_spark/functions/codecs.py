@@ -212,14 +212,19 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
 
 def decode_image(payload: bytes, mime: str | None) -> np.ndarray:
     """Real decode for self-describing uncompressed formats; compressed
-    formats are environment-gated (no PIL in this container)."""
+    formats use Pillow when it is importable (production environments)
+    and stay environment-gated otherwise (no PIL in this container)."""
     if payload[:2] == b"BM":
         return bmp_decode(payload)
     if payload[:8] == _PNG_SIG:
         return png_decode(payload)
-    raise NotImplementedError(
-        f"no decoder for {mime or 'unknown'} in this environment — "
-        f"production body: np.asarray(PIL.Image.open(io.BytesIO(payload)))")
+    try:  # optional dependency, same pattern as grapheme's `regex`
+        import PIL.Image  # noqa: PLC0415
+    except ImportError:
+        raise NotImplementedError(
+            f"no decoder for {mime or 'unknown'} in this environment — "
+            f"install Pillow to decode compressed image formats")
+    return np.asarray(PIL.Image.open(io.BytesIO(payload)))
 
 
 def decode_audio(payload: bytes, mime: str | None) -> tuple[np.ndarray, int]:

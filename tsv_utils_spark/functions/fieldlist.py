@@ -9,6 +9,11 @@ so this reduces to resolving a spec list against ``df.columns``:
 - ``"*_time"``      — fnmatch wildcard over column names
 - ``3`` / ``"3"``   — 1-based position (reference convention)
 - ``"3-5"``/``"5-3"`` — 1-based ranges, reversed allowed
+- ``"\\*b"`` / ``"\\001"`` / ``"a\\-b"`` — backslash escapes make glob
+  metacharacters, digits and hyphens LITERAL name characters
+  (common/fieldlist.d:71-95: ``\*`` is a literal asterisk, ``\001`` is
+  the column NAMED 001 rather than position 1, ``a\-b`` is not a range;
+  ``\\`` is a literal backslash; any character may be escaped)
 - specs may repeat — duplicates are kept (tsv-select allows duplication)
 """
 
@@ -20,6 +25,22 @@ import re
 _RANGE = re.compile(r"^(\d+)-(\d+)$")
 
 
+def _tokenize(s: str) -> list[tuple[str, bool]]:
+    """(char, was_escaped) pairs with backslash escapes consumed."""
+    toks: list[tuple[str, bool]] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "\\":
+            if i + 1 >= len(s):
+                raise ValueError(f"dangling backslash in field spec {s!r}")
+            toks.append((s[i + 1], True))
+            i += 2
+        else:
+            toks.append((s[i], False))
+            i += 1
+    return toks
+
+
 def resolve_fields(columns: list[str], specs) -> list[str]:
     if isinstance(specs, (str, int)):
         specs = [specs]
@@ -29,6 +50,9 @@ def resolve_fields(columns: list[str], specs) -> list[str]:
             out.append(_by_index(columns, spec))
             continue
         s = str(spec)
+        if "\\" in s:
+            out.extend(_resolve_escaped(columns, s))
+            continue
         m = _RANGE.match(s)
         if m:
             a, b = int(m.group(1)), int(m.group(2))
@@ -46,6 +70,29 @@ def resolve_fields(columns: list[str], specs) -> list[str]:
                 raise KeyError(f"no such field: {s!r}")
             out.append(s)
     return out
+
+
+def _resolve_escaped(columns: list[str], s: str) -> list[str]:
+    """Resolve a spec containing backslash escapes. Escaped characters
+    are literal name characters: an escaped digit string is a NAME (not
+    a position), an escaped hyphen is not a range separator, and escaped
+    glob metacharacters match themselves. Unescaped ``*``/``?``/``[``
+    keep their wildcard meaning alongside escaped literals."""
+    toks = _tokenize(s)
+    plain = "".join(ch for ch, _ in toks)
+    if any(ch in "*?[" and not esc for ch, esc in toks):
+        # wildcard with embedded literals: express escaped
+        # metacharacters as single-char classes fnmatch understands
+        pat = "".join(
+            ("[" + ch + "]" if ch in "*?[" else ch) if esc else ch
+            for ch, esc in toks)
+        matches = [c for c in columns if fnmatch.fnmatch(c, pat)]
+        if not matches:
+            raise KeyError(f"field wildcard {s!r} matched no columns")
+        return matches
+    if plain not in columns:
+        raise KeyError(f"no such field: {plain!r} (from spec {s!r})")
+    return [plain]
 
 
 def _by_index(columns: list[str], i: int) -> str:
