@@ -225,11 +225,25 @@ class TestJoin:
         dup = spark.createDataFrame(pd.DataFrame(
             {"k": [1, 1], "v": ["a", "b"]}))
         data = spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
-        with pytest.raises(ValueError, match="duplicate"):
-            join_filter(data, dup, on=["k"], mode="append", append=["v"])
+        # enforcement is IN-PLAN since round 5 (no eager validation job)
+        # — the error surfaces when the join executes
+        with pytest.raises(Exception, match="duplicate filter keys"):
+            join_filter(data, dup, on=["k"], mode="append",
+                        append=["v"]).collect()
         out = join_filter(data, dup, on=["k"], mode="append", append=["v"],
                           allow_duplicate_keys=True).toPandas()
         assert len(out) == 1 and out["v"][0] == "b"  # last-wins (max)
+
+    def test_duplicate_keys_same_values_join_once(self, spark):
+        # the reference's filter file is an associative array — a key
+        # occurring twice with IDENTICAL append values must not
+        # multiply data rows
+        dup = spark.createDataFrame(pd.DataFrame(
+            {"k": [1, 1, 2], "v": ["a", "a", "c"]}))
+        data = spark.createDataFrame(pd.DataFrame({"k": [1, 2]}))
+        out = join_filter(data, dup, on=["k"], mode="append",
+                          append=["v"]).toPandas().sort_values("k")
+        assert out["v"].tolist() == ["a", "c"]
 
     def test_salted_join_equals_plain(self, spark):
         import pandas as pd

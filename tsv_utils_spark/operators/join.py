@@ -52,26 +52,30 @@ def join_filter(data: DataFrame,
     if mode in ("append", "left"):
         append = append or [c for c in filter_df.columns if c not in filter_keys]
         proj = filter_df.select(*filter_keys, *append)
-        if not allow_duplicate_keys:
-            # duplicate-key enforcement (tsv-join.d:557-565): distinct
-            # append tuples per key must be 1
-            dup = (proj.groupBy(*filter_keys)
-                       .agg(F.countDistinct(*append).alias("__n"))
-                       .filter(F.col("__n") > 1).limit(1).count())
-            if dup:
-                raise ValueError("duplicate filter keys with different append "
-                                 "values (pass allow_duplicate_keys=True for "
-                                 "last-wins)")
+        # ONE row per key either way — the reference loads the filter
+        # file into an associative array (tsv-join.d:557-565), so a
+        # duplicated key never multiplies data rows. Kept row = max over
+        # the append-tuple struct: an arbitrary-but-deterministic ACTUAL
+        # row (per-column F.max could stitch a tuple existing in no row).
+        grouped = (proj.groupBy(*filter_keys)
+                       .agg(F.max(F.struct(*[F.col(a) for a in append]))
+                             .alias("__row"),
+                            F.countDistinct(*append).alias("__n")))
+        if allow_duplicate_keys:  # last wins (tsv-join.d:563)
+            row = F.col("__row")
         else:
-            # last wins (tsv-join.d:563): keep an arbitrary-but-deterministic
-            # single ACTUAL row per key — max over the append-tuple struct,
-            # so the kept values all come from one filter row (per-column
-            # F.max could stitch a tuple existing in no row)
-            proj = (proj.groupBy(*filter_keys)
-                        .agg(F.max(F.struct(*[F.col(a) for a in append]))
-                              .alias("__row"))
-                        .select(*filter_keys,
-                                *[F.col("__row")[a].alias(a) for a in append]))
+            # duplicate-key enforcement: IN-PLAN, raised when the join
+            # executes — no separate eager validation job (pre-round-5
+            # this ran a full extra aggregate scan per call, ~doubling
+            # append-join latency)
+            row = F.when(
+                F.col("__n") > 1,
+                F.raise_error(F.lit(
+                    "duplicate filter keys with different append values "
+                    "(pass allow_duplicate_keys=True for last-wins)"))
+            ).otherwise(F.col("__row"))
+        proj = grouped.select(
+            *filter_keys, *[row[a].alias(a) for a in append])
     else:
         proj = filter_df.select(*filter_keys).dropDuplicates(filter_keys)
 
