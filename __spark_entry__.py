@@ -880,6 +880,67 @@ def q_events_sessions(spark, sf_dir):
         .select("user_id", "n_sessions")
 
 
+@q("events_asof_attrib", """
+SELECT c.event_id, c.user_id,
+       epoch_us(v.ts) AS view_us, v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""")
+def q_events_asof_attrib(spark, sf_dir):
+    # as-of join (click -> most recent prior view per user): the
+    # merge-join formulation in operators/timeseries.py — ONE shuffle on
+    # the user key, running last() window, no candidate explosion.
+    # Timestamps compared as integer microseconds on both engines; the
+    # matched value is passed through unrounded (bit-identical doubles).
+    # (user_id, ts) is collision-free in the events table, so the ASOF
+    # tie rule never fires; right_order pins determinism anyway.
+    from tsv_utils_spark.operators.timeseries import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = e.where(F.col("event_type") == "view") \
+        .select("user_id", F.col("ts").alias("vts"),
+                F.col("value").alias("view_value"),
+                F.col("event_id").alias("vid"))
+    out = asof_join(clicks, views, on=["user_id"], left_time="ts",
+                    right_time="vts", right_order=["vid"])
+    return out.select("event_id", "user_id",
+                      F.unix_micros(F.col("vts").cast("timestamp"))
+                       .alias("view_us"),
+                      "view_value")
+
+
+@q("events_error_window", """
+SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 240 MINUTE
+""")
+def q_events_error_window(spark, sf_dir):
+    # range join (clicks inside 4h post-error windows, per user): the
+    # bucketed-blocking plan in operators/timeseries.py — intervals
+    # explode into ~2 cells each, candidates come from a plain equi-join
+    # on (user, cell), exact containment filters after. No inequality
+    # join, no cross product.
+    from tsv_utils_spark.operators.timeseries import range_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click") \
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    errs = e.where(F.col("event_type") == "error") \
+        .select("user_id", F.col("ts").alias("w_start"),
+                (F.col("ts") + F.expr("INTERVAL 240 MINUTES"))
+                .alias("w_end"),
+                F.col("event_id").alias("error_id"))
+    out = range_join(clicks, errs, on=["user_id"], point_col="ts",
+                     start_col="w_start", end_col="w_end",
+                     bucket=14_400.0)
+    return out.select("click_id", "error_id", "user_id")
+
+
 @q("join_append_dup", """
 SELECT c.c_custkey, c.c_mktsegment,
        CAST(o.o_orderdate AS DATE)::VARCHAR AS last_date,
@@ -2388,6 +2449,8 @@ _FRONT_OF_BOARD = [
     # in r1/r2 (first 15) or r3 (remaining 35); the 50 r4-green queries
     # rotate to the back.  After this round every query's most recent
     # driver row is dated r3+ (and r1/r2 stragglers are refreshed).
+    # round-5 additions (never driver-run):
+    "events_asof_attrib", "events_error_window",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
@@ -2405,7 +2468,8 @@ _FRONT_OF_BOARD = [
     "ngram_jaccard_pairs", "uniq_ignore_case", "events_hourly",
     "events_sessions", "join_append_dup", "tsv_roundtrip",
     "csv2tsv_roundtrip", "uniq_wholeline", "unique_values_first_seen",
-    "filter_len", "sample_replacement_det",
+    # (filter_len, sample_replacement_det stay r3-green on the back
+    # board — displaced by the two round-5 additions)
 ]
 
 

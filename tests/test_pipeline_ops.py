@@ -484,6 +484,144 @@ class TestTimeseries:
         assert final.count("Exchange hashpartitioning") <= 1  # plain agg
 
 
+class TestAsofRangeJoin:
+    def _frames(self, spark, seed=3, n=400, users=12):
+        rng = np.random.default_rng(seed)
+        import pandas as pd
+
+        base = pd.Timestamp("2024-01-01")
+        lt = pd.DataFrame({
+            "u": rng.integers(0, users, n),
+            "ts": base + pd.to_timedelta(
+                rng.integers(0, 86_400_000_000, n), unit="us"),
+            "lid": np.arange(n)})
+        rt = pd.DataFrame({
+            "u": rng.integers(0, users, n // 2),
+            "rts": base + pd.to_timedelta(
+                rng.integers(0, 86_400_000_000, n // 2), unit="us"),
+            "rid": np.arange(n // 2), "payload": rng.normal(size=n // 2)})
+        return (spark.createDataFrame(lt), spark.createDataFrame(rt),
+                lt, rt)
+
+    def test_asof_backward_matches_pandas_merge_asof(self, spark):
+        import pandas as pd
+
+        from tsv_utils_spark.operators.timeseries import asof_join
+
+        L, R, lt, rt = self._frames(spark)
+        got = asof_join(L, R, on=["u"], left_time="ts", right_time="rts",
+                        right_order=["rid"]) \
+            .toPandas().sort_values("lid").reset_index(drop=True)
+        want = pd.merge_asof(
+            lt.sort_values("ts"), rt.sort_values("rts"),
+            left_on="ts", right_on="rts", by="u",
+            direction="backward") \
+            .sort_values("lid").reset_index(drop=True)
+        assert got["rid"].equals(want["rid"].astype("float64")
+                                 .where(want["rid"].notna())
+                                 .astype(got["rid"].dtype)) or \
+            got["rid"].fillna(-1).astype("int64").tolist() == \
+            want["rid"].fillna(-1).astype("int64").tolist()
+        assert np.allclose(got["payload"].fillna(0.0),
+                           want["payload"].fillna(0.0))
+
+    def test_asof_forward_and_tolerance(self, spark):
+        import pandas as pd
+
+        from tsv_utils_spark.operators.timeseries import asof_join
+
+        L, R, lt, rt = self._frames(spark, seed=9)
+        tol = 3600.0  # 1 hour
+        got = asof_join(L, R, on=["u"], left_time="ts", right_time="rts",
+                        direction="forward", tolerance=tol,
+                        right_order=["rid"]) \
+            .toPandas().sort_values("lid").reset_index(drop=True)
+        want = pd.merge_asof(
+            lt.sort_values("ts"), rt.sort_values("rts"),
+            left_on="ts", right_on="rts", by="u", direction="forward",
+            tolerance=pd.Timedelta(seconds=tol)) \
+            .sort_values("lid").reset_index(drop=True)
+        assert got["rid"].fillna(-1).astype("int64").tolist() == \
+            want["rid"].fillna(-1).astype("int64").tolist()
+
+    def test_asof_equal_time_matches_inclusive(self, spark):
+        from tsv_utils_spark.operators.timeseries import asof_join
+
+        L = spark.createDataFrame(
+            [(1, 100.0, "l0")], "u int, ts double, tag string")
+        R = spark.createDataFrame(
+            [(1, 100.0, "exact"), (1, 90.0, "older")],
+            "u int, rts double, rtag string")
+        out = asof_join(L, R, on=["u"], left_time="ts",
+                        right_time="rts").collect()
+        assert out[0]["rtag"] == "exact"  # at-or-before includes equal
+
+    def test_asof_name_collision_raises(self, spark):
+        from tsv_utils_spark.operators.timeseries import asof_join
+
+        L = spark.createDataFrame([(1, 1.0, "x")],
+                                  "u int, ts double, v string")
+        R = spark.createDataFrame([(1, 1.0, "y")],
+                                  "u int, rts double, v string")
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(L, R, on=["u"], left_time="ts", right_time="rts")
+        out = asof_join(L, R, on=["u"], left_time="ts", right_time="rts",
+                        right_prefix="r_")
+        assert "r_v" in out.columns
+
+    def test_asof_single_shuffle_plan(self, spark):
+        # the merge-join formulation must shuffle ONCE on the keys —
+        # no extra exchange for the window after the union
+        from tsv_utils_spark.operators.timeseries import asof_join
+
+        L, R, *_ = self._frames(spark)
+        out = asof_join(L, R, on=["u"], left_time="ts", right_time="rts")
+        p = out._jdf.queryExecution().executedPlan().toString()
+        final = p.split("== Initial Plan ==")[0]
+        assert final.count("Exchange hashpartitioning") <= 1, final
+
+    def test_range_join_matches_bruteforce(self, spark):
+        import pandas as pd
+
+        from tsv_utils_spark.operators.timeseries import range_join
+
+        rng = np.random.default_rng(5)
+        base = pd.Timestamp("2024-01-01")
+        pts = pd.DataFrame({
+            "u": rng.integers(0, 6, 300),
+            "ts": base + pd.to_timedelta(
+                rng.integers(0, 3_600_000_000, 300), unit="us"),
+            "pid": np.arange(300)})
+        s = rng.integers(0, 3_600_000_000, 80)
+        iv = pd.DataFrame({
+            "u": rng.integers(0, 6, 80),
+            "s": base + pd.to_timedelta(s, unit="us"),
+            "e": base + pd.to_timedelta(
+                s + rng.integers(0, 400_000_000, 80), unit="us"),
+            "iid": np.arange(80)})
+        got = range_join(spark.createDataFrame(pts),
+                         spark.createDataFrame(iv), on=["u"],
+                         point_col="ts", start_col="s", end_col="e",
+                         bucket=300.0).toPandas()
+        want = pts.merge(iv, on="u")
+        want = want[(want["s"] <= want["ts"]) & (want["ts"] <= want["e"])]
+        assert sorted(zip(got["pid"], got["iid"])) == \
+            sorted(zip(want["pid"], want["iid"]))
+
+    def test_range_join_degenerate_interval_raises_in_plan(self, spark):
+        from tsv_utils_spark.operators.timeseries import range_join
+
+        pts = spark.createDataFrame([(1, 5.0, 0)],
+                                    "u int, ts double, pid int")
+        iv = spark.createDataFrame([(1, 0.0, 1e9, 0)],
+                                   "u int, s double, e double, iid int")
+        out = range_join(pts, iv, on=["u"], point_col="ts",
+                         start_col="s", end_col="e", bucket=1.0,
+                         max_buckets_per_interval=100)
+        with pytest.raises(Exception, match="max_buckets_per_interval"):
+            out.collect()
+
+
 class TestDecontaminate:
     def test_exact_and_near_modes(self, spark):
         from tsv_utils_spark.operators.dedup import decontaminate

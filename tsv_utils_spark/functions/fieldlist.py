@@ -1,4 +1,4 @@
-"""Field-list resolution — the Spark translation of the reference's
+r"""Field-list resolution — the Spark translation of the reference's
 field-list sub-language (common/src/tsv_utils/common/fieldlist.d:1-176).
 
 The reference addresses fields by 1-based number, name, wildcard, range

@@ -30,7 +30,13 @@ from tsv_utils_spark.operators.text import (
     token_frequency_stats,
     top_ngram_stats,
 )
-from tsv_utils_spark.operators.timeseries import session_stats, sessionize, windowed_agg
+from tsv_utils_spark.operators.timeseries import (
+    asof_join,
+    range_join,
+    session_stats,
+    sessionize,
+    windowed_agg,
+)
 from tsv_utils_spark.operators.multimodal import (
     audio_features,
     image_features,
@@ -47,5 +53,6 @@ __all__ = [
     "extract_urls", "compression_ratio", "remove_boilerplate_lines",
     "token_frequency_stats",
     "sessionize", "session_stats", "windowed_agg",
+    "asof_join", "range_join",
     "image_features", "audio_features", "resize_images",
 ]
