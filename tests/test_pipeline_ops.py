@@ -218,6 +218,20 @@ class TestFieldListEscapes:
         # escaped * literal + unescaped * wildcard in one spec
         assert resolve_fields(self.COLS, [r"a\**"]) == ["a*b"]
 
+    def test_escaped_hyphen_inside_class_is_literal(self):
+        # the char-class edge: an ESCAPED hyphen inside an unescaped
+        # class must not become a range (pre-fix '[a\-z]' built '[a-z]'
+        # and matched 'm')
+        from tsv_utils_spark.functions.fieldlist import resolve_fields
+
+        cols = ["a", "-", "z", "m"]
+        got = set(resolve_fields(cols, [r"[a\-z]"]))
+        assert got == {"a", "-", "z"}
+        # unescaped ranges inside classes keep their meaning
+        assert set(resolve_fields(cols, ["[a-z]"])) == {"a", "z", "m"}
+        # negated classes translate too
+        assert set(resolve_fields(cols, ["[!a]"])) == {"-", "z", "m"}
+
     def test_dangling_backslash_raises(self):
         from tsv_utils_spark.functions.fieldlist import resolve_fields
 
@@ -886,6 +900,12 @@ class TestConnectedComponents:
         assert out.loc[501, "component"] == 500
         wrote = any(files for _, _, files in os.walk(ckdir))
         assert wrote, "reliable checkpoint dir is empty"
+        # storage stays bounded: older rounds' rdd-N dirs are deleted,
+        # only current + previous survive (a multi-round job must not
+        # hold one full label-table copy per round)
+        rdd_dirs = [d for _, dirs, _ in os.walk(ckdir) for d in dirs
+                    if d.startswith("rdd-")]
+        assert len(rdd_dirs) <= 2, rdd_dirs
 
 
 class TestDistributedIds:

@@ -420,6 +420,30 @@ class TestSketchRollup:
                 assert round(row["diff_ba_est"]) == len(sets[b] - sets[a])
                 assert round(row["union_est"]) == len(sets[a] | sets[b])
 
+    def test_theta_pairwise_includes_null_group(self, spark):
+        # a NULL group key is a legitimate group: pairing runs on dense
+        # ordinal ids with null-safe key attachment, so NULL pairs like
+        # any other value (a struct inequality would drop it silently)
+        from tsv_utils_spark.plans import sketch_partials, theta_pairwise
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), (None, 2), (None, 3), ("b", 3)],
+            "g string, v int")
+        blobs = sketch_partials(df, ["g"], [SketchSpec("theta", "v", "uc",
+                                                       {"k": 64})])
+        got = theta_pairwise(blobs, ["g"]).toPandas()
+        assert len(got) == 3  # (None,a), (None,b), (a,b) — all present
+        def key(r):
+            return (r["g_a"], r["g_b"])
+        rows = {key(r): r for _, r in got.iterrows()}
+        null_a = [k for k in rows if k[0] is None or k[1] is None]
+        assert len(null_a) == 2
+        m = {frozenset([ka, kb]): r["intersect_est"]
+             for (ka, kb), r in rows.items()}
+        assert m[frozenset([None, "a"])] == 1.0   # {2,3} & {1,2}
+        assert m[frozenset([None, "b"])] == 1.0   # {2,3} & {3}
+        assert m[frozenset(["a", "b"])] == 0.0
+
     def test_theta_pairwise_rejects_missing_columns(self, tables, spark):
         import pytest
 

@@ -81,12 +81,41 @@ def _resolve_escaped(columns: list[str], s: str) -> list[str]:
     toks = _tokenize(s)
     plain = "".join(ch for ch, _ in toks)
     if any(ch in "*?[" and not esc for ch, esc in toks):
-        # wildcard with embedded literals: express escaped
-        # metacharacters as single-char classes fnmatch understands
-        pat = "".join(
-            ("[" + ch + "]" if ch in "*?[" else ch) if esc else ch
-            for ch, esc in toks)
-        matches = [c for c in columns if fnmatch.fnmatch(c, pat)]
+        # wildcard with embedded literals: translate token-by-token to
+        # a regex (fnmatch pattern strings can't express an escaped
+        # literal everywhere — e.g. a literal '-' INSIDE an unescaped
+        # character class would re-acquire range meaning). re.escape'd
+        # literals are safe both inside and outside classes.
+        parts: list[str] = []
+        in_class = False
+        prev_open = False  # previous token opened a class ([! -> [^)
+        for ch, esc in toks:
+            if esc:
+                parts.append(re.escape(ch))
+            elif not in_class and ch == "*":
+                parts.append(".*")
+            elif not in_class and ch == "?":
+                parts.append(".")
+            elif not in_class and ch == "[":
+                in_class = True
+                prev_open = True
+                parts.append("[")
+                continue
+            elif in_class and ch == "!" and prev_open:
+                parts.append("^")
+            elif in_class and ch == "]" and not prev_open:
+                in_class = False
+                parts.append("]")
+            elif in_class:
+                parts.append(ch)  # raw: unescaped ranges a-z keep meaning
+            else:
+                parts.append(re.escape(ch))
+            prev_open = False
+        if in_class:
+            raise ValueError(f"unterminated character class in field "
+                             f"spec {s!r}")
+        rx = re.compile("(?s)" + "".join(parts) + r"\Z")
+        matches = [c for c in columns if rx.match(c)]
         if not matches:
             raise KeyError(f"field wildcard {s!r} matched no columns")
         return matches

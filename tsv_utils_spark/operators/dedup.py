@@ -488,15 +488,47 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
     mid-iteration). For cluster runs pass ``checkpoint_dir`` (an
     HDFS/object-store path): rounds then use RELIABLE ``checkpoint()``
     against it, surviving executor loss at the cost of one write+read
-    of the label table per round."""
+    of the label table per round. Storage stays bounded at ~2x the
+    label table: once round N materializes, round N-2's checkpoint
+    files (which nothing references anymore — each round reads only
+    the previous one) are deleted via the Hadoop FileSystem API, so a
+    50-round job does not hold 50 full copies (Spark itself only
+    cleans checkpoints on RDD GC with non-default
+    spark.cleaner.referenceTracking.cleanCheckpoints)."""
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = spark.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        jvm = sc._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
 
-    def _persist_round(df):
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        def _rdd_dirs() -> set:
+            out = set()
+            if not fs.exists(hpath):
+                return out
+            for st in fs.listStatus(hpath):  # <dir>/<context-uuid>/rdd-N
+                if st.isDirectory():
+                    for st2 in fs.listStatus(st.getPath()):
+                        out.add(str(st2.getPath()))
+            return out
+
+        ours: list = []  # our rounds' rdd dirs, oldest first
+
+        def _persist_round(df):
+            before = _rdd_dirs()
+            out = df.checkpoint(eager=True)
+            ours.extend(sorted(_rdd_dirs() - before))
+            # keep current + previous; drop older rounds WE created
+            # (the before/after diff never claims concurrent
+            # checkpoints from other jobs in the same app)
+            while len(ours) > 2:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(ours.pop(0)),
+                          True)
+            return out
+    else:
+        def _persist_round(df):
+            return df.localCheckpoint(eager=True)
 
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionByName(

@@ -57,25 +57,38 @@ def join_filter(data: DataFrame,
         # duplicated key never multiplies data rows. Kept row = max over
         # the append-tuple struct: an arbitrary-but-deterministic ACTUAL
         # row (per-column F.max could stitch a tuple existing in no row).
+        # distinct-tuple count via collect_set of the struct (NOT
+        # countDistinct(*append), which skips tuples containing a NULL
+        # component and would let a NULL-vs-value conflict pass)
         grouped = (proj.groupBy(*filter_keys)
                        .agg(F.max(F.struct(*[F.col(a) for a in append]))
                              .alias("__row"),
-                            F.countDistinct(*append).alias("__n")))
+                            F.size(F.collect_set(
+                                F.struct(*[F.col(a) for a in append])))
+                             .alias("__n")))
         if allow_duplicate_keys:  # last wins (tsv-join.d:563)
-            row = F.col("__row")
+            proj = grouped.select(
+                *filter_keys,
+                *[F.col("__row")[a].alias(a) for a in append])
         else:
             # duplicate-key enforcement: IN-PLAN, raised when the join
             # executes — no separate eager validation job (pre-round-5
             # this ran a full extra aggregate scan per call, ~doubling
-            # append-join latency)
-            row = F.when(
+            # append-join latency). The guard wraps the FIRST JOIN KEY,
+            # not the appended values: the join condition always
+            # consumes the key, so Catalyst column pruning can never
+            # delete the check even when no appended column survives
+            # the caller's projection.
+            k0 = filter_keys[0]
+            guarded_key = F.when(
                 F.col("__n") > 1,
                 F.raise_error(F.lit(
                     "duplicate filter keys with different append values "
                     "(pass allow_duplicate_keys=True for last-wins)"))
-            ).otherwise(F.col("__row"))
-        proj = grouped.select(
-            *filter_keys, *[row[a].alias(a) for a in append])
+            ).otherwise(F.col(k0)).alias(k0)
+            proj = grouped.select(
+                guarded_key, *[F.col(k) for k in filter_keys[1:]],
+                *[F.col("__row")[a].alias(a) for a in append])
     else:
         proj = filter_df.select(*filter_keys).dropDuplicates(filter_keys)
 

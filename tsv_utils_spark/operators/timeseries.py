@@ -72,13 +72,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     if l_us != r_us:
         raise ValueError("left_time and right_time must both be "
                          "time-typed or both numeric")
+    # a usable time is non-NULL and (on numeric axes) non-NaN: NaN is
+    # isNotNull in Spark and sorts AFTER every value, so an unguarded
+    # NaN left row would match the globally latest right row and a NaN
+    # right row could become a match — pandas/DuckDB ASOF both treat it
+    # as no-position
+    def usable(c):
+        ok = c.isNotNull()
+        return ok if l_us else ok & ~F.isnan(c)
+
     l2 = left.select(*keys, lt.alias("__t"), F.lit(1).alias("__side"),
                      F.lit(None).cast(p_struct).alias("__p"),
                      F.struct(*lp).alias("__l"))
     r2 = right.select(*keys, rt.alias("__t"), F.lit(0).alias("__side"),
                       F.struct(*rp).alias("__p"),
                       F.lit(None).cast(l_struct).alias("__l")) \
-              .where(F.col("__t").isNotNull())
+              .where(usable(F.col("__t")))
     u = l2.unionByName(r2)
 
     backward = direction == "backward"
@@ -95,8 +104,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
             else m[right_time].cast("double")
         gap = (F.col("__t") - mrt) if backward else (mrt - F.col("__t"))
         m = F.when(gap <= F.lit(tol), m)
-    # a NULL left time matches nothing (it has no position on the axis)
-    m = F.when(F.col("__t").isNotNull(), m)
+    # a NULL/NaN left time matches nothing (no position on the axis)
+    m = F.when(usable(F.col("__t")), m)
 
     left_out = [F.col(c) if c in keys else F.col("__l")[c].alias(c)
                 for c in left.columns]

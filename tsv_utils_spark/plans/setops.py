@@ -49,22 +49,38 @@ def theta_pairwise(blobs: DataFrame, group_by: list[str],
     if missing:
         raise ValueError(f"columns {missing} not in blob table "
                          f"{blobs.columns}")
-    keys = blobs.select(*group_by)
-    ka = keys.select(*[F.col(c).alias(f"{c}_a") for c in group_by])
-    kb = keys.select(*[F.col(c).alias(f"{c}_b") for c in group_by])
-    cond = (F.struct(*[F.col(f"{c}_a") for c in group_by])
-            < F.struct(*[F.col(f"{c}_b") for c in group_by]))
-    pairs = ka.join(kb, cond)  # keys-only nested loop: G^2 tiny rows
+    # Pair on dense ordinal GROUP IDS, not on the key values: a struct
+    # inequality (keys_a < keys_b) evaluates to NULL for a NULL group
+    # key and every pair involving that group silently vanishes — a
+    # NULL group is a legitimate group and must pair like any other.
+    # The single-partition row_number window runs over the KEYS-ONLY
+    # projection (G tiny rows, never the blobs), so it is not a scale
+    # concern.
+    from pyspark.sql import Window
 
-    side_a = blobs.select(
-        *[F.col(c).alias(f"{c}_a") for c in group_by],
-        F.col(blob_col).alias("__ba"))
-    side_b = blobs.select(
-        *[F.col(c).alias(f"{c}_b") for c in group_by],
-        F.col(blob_col).alias("__bb"))
+    order = [F.col(c).asc_nulls_first() for c in group_by]
+    keyed = (blobs.select(*group_by)
+             .withColumn("__gid", F.row_number().over(
+                 Window.orderBy(*order))))
+    ka = keyed.select(*[F.col(c).alias(f"{c}_a") for c in group_by],
+                      F.col("__gid").alias("__ga"))
+    kb = keyed.select(*[F.col(c).alias(f"{c}_b") for c in group_by],
+                      F.col("__gid").alias("__gb"))
+    pairs = ka.join(kb, F.col("__ga") < F.col("__gb"))  # G^2 tiny rows
+
+    # attach blobs by gid (int equi-join, NULL-free); the gid rides to
+    # the blob row via a null-safe key join against the tiny id table
+    blob_id = blobs.join(
+        F.broadcast(keyed),
+        [blobs[c].eqNullSafe(keyed[c]) for c in group_by]) \
+        .select(keyed["__gid"], blobs[blob_col].alias("__blob"))
     joined = (pairs
-              .join(side_a, [f"{c}_a" for c in group_by])
-              .join(side_b, [f"{c}_b" for c in group_by]))
+              .join(blob_id.select(F.col("__gid").alias("__ga"),
+                                   F.col("__blob").alias("__ba")),
+                    "__ga")
+              .join(blob_id.select(F.col("__gid").alias("__gb"),
+                                   F.col("__blob").alias("__bb")),
+                    "__gb"))
 
     key_fields = ([joined.schema[f"{c}_a"] for c in group_by]
                   + [joined.schema[f"{c}_b"] for c in group_by])
