@@ -230,3 +230,94 @@ class TestCsvAutoMultiline:
         # multiline parser; auto must have chosen it (then TSV-normalized
         # the newline to a space)
         assert out == {("1", "line one line two"), ("2", "plain")}
+
+
+class TestParallelMultilineCsv:
+    def _write(self, path, n=3000):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(n):
+            r = rng.random()
+            if r < 0.3:
+                v = f'"multi\nline {i} with ""q"" and, comma"'
+            elif r < 0.45:
+                v = f'"crlf\r\ncell,{i}"'
+            elif r < 0.55:
+                v = '""'
+            elif r < 0.6:
+                v = ""  # unquoted empty
+            else:
+                v = f"plain{i}"
+            rows.append(f"{i},{v},{i * 3}")
+        with open(path, "w", newline="") as f:
+            f.write("id,v,w\r\n" + "\r\n".join(rows) + "\r\n")
+
+    def test_matches_univocity_across_tiny_blocks(self, spark, tmp_path):
+        # tiny blocks force straddling records and blocks that start
+        # inside quoted fields — parity with the one-task reference
+        # parser must hold byte-for-byte after TSV normalization
+        from tsv_utils_spark.sources.tsv import csv_to_tsv_df
+
+        p = str(tmp_path / "pml.csv")
+        self._write(p)
+        for bb in (512, 4096):
+            from tsv_utils_spark.sources.tsv import (
+                read_csv_multiline_parallel,
+            )
+
+            par = read_csv_multiline_parallel(spark, p, header=True,
+                                              block_bytes=bb)
+            uni = (spark.read.option("header", True)
+                   .option("multiLine", True).option("quote", '"')
+                   .option("escape", '"').csv(p))
+            a = sorted((r["id"], r["w"]) for r in par.collect())
+            b = sorted((r["id"], r["w"]) for r in uni.collect())
+            assert a == b, bb
+            # full-row parity through the csv2tsv normalization
+            ta = sorted(map(tuple, csv_to_tsv_df(
+                spark, p, multiline="parallel").collect()))
+            tb = sorted(map(tuple, csv_to_tsv_df(
+                spark, p, multiline=True).collect()))
+            # univocity pre-normalizes CRLF->LF; the reference replaces
+            # CRLF with ONE char, which both paths now produce
+            assert ta == tb
+
+    def test_block_entirely_inside_quoted_field(self, spark, tmp_path):
+        from tsv_utils_spark.sources.tsv import read_csv_multiline_parallel
+
+        p = str(tmp_path / "giant.csv")
+        big = "x" * 5000 + "\n" + "y" * 5000  # one quoted 10KB cell
+        with open(p, "w") as f:
+            f.write(f'id,v\n1,"{big}"\n2,plain\n')
+        out = read_csv_multiline_parallel(spark, p, header=True,
+                                          block_bytes=1024)
+        rows = {r["id"]: r["v"] for r in out.collect()}
+        assert rows["2"] == "plain"
+        assert len(rows["1"]) == 10_001 and "\n" in rows["1"]
+
+    def test_multi_file_header_per_file(self, spark, tmp_path):
+        from tsv_utils_spark.sources.tsv import read_csv_multiline_parallel
+
+        d = tmp_path / "many"
+        d.mkdir()
+        for k in range(3):
+            with open(d / f"part-{k}.csv", "w") as f:
+                f.write("id,v\n")
+                for i in range(10):
+                    f.write(f'{k * 10 + i},"a\nb{i}"\n')
+        out = read_csv_multiline_parallel(spark, str(d), header=True)
+        ids = sorted(int(r["id"]) for r in out.collect())
+        assert ids == list(range(30))  # 3 headers skipped, 30 records
+
+    def test_no_trailing_newline(self, spark, tmp_path):
+        from tsv_utils_spark.sources.tsv import read_csv_multiline_parallel
+
+        p = str(tmp_path / "notrail.csv")
+        with open(p, "w") as f:
+            f.write('id,v\n1,"a\nb"\n2,last')  # EOF mid-record line
+        out = {r["id"]: r["v"]
+               for r in read_csv_multiline_parallel(
+                   spark, p, header=True, block_bytes=8).collect()}
+        assert out == {"1": "a\nb", "2": "last"}

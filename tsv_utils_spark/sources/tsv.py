@@ -136,6 +136,211 @@ def read_tsv(spark: SparkSession, path: str, header: bool = True,
     return r.csv(path)
 
 
+def _list_csv_files(spark: SparkSession, path: str) -> list[str]:
+    """Deterministic (sorted) fully-qualified URIs under ``path`` —
+    Spark's own listing, so globs/dirs behave identically to a read."""
+    return sorted(spark.read.format("text").load(path).inputFiles())
+
+
+def read_csv_multiline_parallel(spark: SparkSession, path: str,
+                                header: bool = True,
+                                block_bytes: int | None = None) -> DataFrame:
+    """Parallel scan of RFC-4180 CSV **with quoted embedded newlines** —
+    the case Spark's own reader forces to one task per file
+    (``multiLine=true`` disables splitting because a task starting
+    mid-file cannot know whether it is inside a quoted field).
+
+    Two-pass quote-parity splitting makes the file splittable anyway:
+
+    1. each ~``block_bytes`` block counts its ``\"`` BYTES in parallel
+       (an RFC escaped quote is two characters, so parity is preserved;
+       0x22 never occurs in UTF-8 continuation bytes, so the byte scan
+       is encoding-safe). A prefix-XOR of the per-block parities — one
+       bit per block, computed on the driver — yields every block's
+       in-quote state at its start offset.
+    2. each block, now knowing its starting state, locates the
+       newlines at even quote-parity (true record boundaries), takes
+       ownership of the records that START inside it (reading ahead
+       into the next blocks for a record that straddles), and parses
+       its record-aligned byte range with ``pyarrow.csv`` (C++,
+       newlines_in_values) — not a per-row Python loop.
+
+    All columns are returned as strings (csv2tsv semantics: cells are
+    text until a downstream schema says otherwise). Requires
+    RFC-conformant quoting: a bare ``\"`` inside an UNQUOTED field
+    would flip the parity scan (the reference's csv2tsv state machine
+    reads such input the same way — csv2tsv.d:505-640 treats any
+    quote after a delimiter as opening a field).
+    """
+    files = _list_csv_files(spark, path)
+    if not files:
+        raise FileNotFoundError(path)
+
+    import pyarrow.fs as pafs
+
+    def _open(uri):
+        fs, p = pafs.FileSystem.from_uri(uri)
+        return fs, p
+
+    sizes = {}
+    for uri in files:
+        fs, p = _open(uri)
+        sizes[uri] = fs.get_file_info(p).size
+    if block_bytes is None:
+        # aim for ~4 blocks per core (pipelining + stragglers), clamped
+        # to [4MB, 64MB] — one task per block
+        par = spark.sparkContext.defaultParallelism or 8
+        total = max(1, sum(sizes.values()))
+        block_bytes = min(64 << 20, max(4 << 20, total // (4 * par)))
+
+    # block table: (uri, start, end, file_size) — tiny, driver-built
+    blocks = []
+    for uri in files:
+        size = sizes[uri]
+        off = 0
+        while off < size or off == 0:
+            blocks.append((uri, off, min(off + block_bytes, size), size))
+            off += block_bytes
+            if off >= size:
+                break
+
+    # column names from the first file's header line (driver-side read
+    # of one small slice)
+    fs0, p0 = _open(files[0])
+    with fs0.open_input_stream(p0) as f:
+        head = f.read(1 << 20)
+    first_nl = head.find(b"\n")
+    header_line = head[: first_nl if first_nl >= 0 else len(head)]
+    import io as _io
+    import csv as _csv
+
+    first_row = next(_csv.reader(
+        _io.StringIO(header_line.decode("utf-8", "replace"))))
+    names = ([c if c else f"_c{i}" for i, c in enumerate(first_row)]
+             if header else [f"_c{i}" for i in range(len(first_row))])
+
+    sc = spark.sparkContext
+    # ---- pass 1: per-block quote parity (numpy byte count) ----------
+    def parity_of(block):
+        import numpy as np
+        import pyarrow.fs as pafs2
+
+        uri, start, end, _ = block
+        fs, p = pafs2.FileSystem.from_uri(uri)
+        with fs.open_input_file(p) as f:
+            f.seek(start)
+            buf = np.frombuffer(f.read(end - start), dtype=np.uint8)
+        return (uri, start, int((buf == 0x22).sum() & 1))
+
+    parities = (sc.parallelize(blocks, len(blocks))
+                  .map(parity_of).collect())
+    state, start_state = {}, {}
+    for uri, start, par in sorted(parities):
+        s = state.get(uri, 0)
+        start_state[(uri, start)] = s
+        state[uri] = s ^ par
+
+    bc_state = sc.broadcast(start_state)
+    bc_names = sc.broadcast(names)
+
+    # ---- pass 2: boundary-aligned parallel parse --------------------
+    # mapInArrow, not mapInPandas: pyarrow.csv already produces Arrow
+    # RecordBatches — yielding them directly skips a
+    # Table -> pandas -> Arrow round-trip that measured ~as expensive
+    # as the parse itself
+    def parse_block(iterator):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+        import pyarrow.fs as pafs2
+
+        out_schema = pa.schema([(c, pa.string())
+                                for c in bc_names.value])
+
+        def boundaries(buf, state):
+            """Offsets AFTER each even-parity newline in buf."""
+            q = np.flatnonzero(buf == 0x22)
+            n = np.flatnonzero(buf == 0x0A)
+            if not len(n):
+                return np.empty(0, dtype=np.int64)
+            par = (np.searchsorted(q, n) + state) & 1
+            return n[par == 0] + 1
+
+        for batch in iterator:
+            for row in batch.to_pylist():
+                uri, start, end, size = (row["uri"], int(row["start"]),
+                                         int(row["end"]), int(row["size"]))
+                fs, p = pafs2.FileSystem.from_uri(uri)
+                with fs.open_input_file(p) as f:
+                    f.seek(start)
+                    buf = np.frombuffer(f.read(end - start),
+                                        dtype=np.uint8)
+                    st = bc_state.value[(uri, start)]
+                    # ownership: record starts s in (start, end], plus
+                    # s=0 for the first block. Boundary newlines inside
+                    # this block yield exactly those starts.
+                    bnd = boundaries(buf, st)  # local s offsets, >=1
+                    if start == 0:
+                        first = 0
+                    elif len(bnd):
+                        first = int(bnd[0])
+                    else:
+                        continue  # block fully inside one record
+                    # the last owned record runs until the first record
+                    # start PAST global end — scan ahead with running
+                    # parity until a boundary or EOF
+                    tail = bytearray()
+                    stop = None  # offset into (buf + tail), exclusive
+                    cur_state = (st + int((buf == 0x22).sum())) & 1
+                    pos = end
+                    while stop is None and pos < size:
+                        f.seek(pos)
+                        nxt = np.frombuffer(
+                            f.read(min(1 << 20, size - pos)),
+                            dtype=np.uint8)
+                        b2 = boundaries(nxt, cur_state)
+                        if len(b2):
+                            keep = int(b2[0])
+                            tail.extend(nxt[:keep].tobytes())
+                            stop = (end - start) + len(tail)
+                        else:
+                            tail.extend(nxt.tobytes())
+                            cur_state = (cur_state
+                                         + int((nxt == 0x22).sum())) & 1
+                            pos += len(nxt)
+                chunk = buf.tobytes()[first:] + bytes(tail) \
+                    if stop is None else \
+                    (buf.tobytes() + bytes(tail))[first:stop]
+                if not chunk.strip():
+                    continue
+                skip = 1 if (start == 0 and header) else 0
+                tbl = pacsv.read_csv(
+                    pa.BufferReader(chunk),
+                    read_options=pacsv.ReadOptions(
+                        column_names=bc_names.value, skip_rows=skip,
+                        use_threads=False),
+                    parse_options=pacsv.ParseOptions(
+                        newlines_in_values=True, quote_char='"',
+                        double_quote=True),
+                    convert_options=pacsv.ConvertOptions(
+                        column_types={c: pa.string()
+                                      for c in bc_names.value},
+                        # univocity parity: Spark's CSV reader maps
+                        # empty cells to NULL whether quoted or not
+                        # (nullValue defaults to "")
+                        strings_can_be_null=True,
+                        null_values=[""],
+                        quoted_strings_can_be_null=True))
+                for rb in tbl.cast(out_schema).to_batches():
+                    yield rb
+
+    bdf = spark.createDataFrame(
+        blocks, "uri string, start long, end long, size long")
+    schema = ", ".join(f"`{c}` string" for c in names)
+    return bdf.repartition(len(blocks)).mapInArrow(parse_block,
+                                                   schema=schema)
+
+
 def csv_to_tsv_df(spark: SparkSession, path: str, header: bool = True,
                   replacement: str = " ",
                   multiline: bool | str = True) -> DataFrame:
@@ -157,11 +362,17 @@ def csv_to_tsv_df(spark: SparkSession, path: str, header: bool = True,
     the fast path on the overwhelmingly common newline-free corpus while
     silently falling back to the exact multiline parser otherwise.
 
+    ``multiline="parallel"`` forces the quote-parity block scanner
+    (``read_csv_multiline_parallel``): quoted newlines fully honored
+    AND the file splits across tasks — ``"auto"`` picks it
+    automatically when the pre-scan finds quoted newlines, so auto now
+    parallelizes BOTH outcomes. Requires RFC-conformant quoting.
+
     Rule of thumb (measured, BENCH/BASELINE.md): use ``"auto"`` for
-    few-huge-files ingest (3.3x on one 7M-row file — multiline mode
-    cannot split a file); keep the default on many-file inputs, where
-    per-file parallelism already exists and the pre-scan is ~15% dead
-    weight.
+    few-huge-files ingest (3.3x on one 7M-row newline-free file, and
+    the parallel scanner covers the quoted-newline case); keep the
+    default on many-file inputs, where per-file parallelism already
+    exists and the pre-scan is ~15% dead weight.
     """
     if multiline == "auto":
         odd_lines = (spark.read.text(path)
@@ -169,15 +380,28 @@ def csv_to_tsv_df(spark: SparkSession, path: str, header: bool = True,
                                - F.length(F.regexp_replace(
                                    "value", '"', ""))) % 2).alias("odd"))
                      .agg(F.sum("odd").alias("n")).first()["n"])
-        multiline = bool(odd_lines)
-    df = (spark.read
-          .option("header", header)
-          .option("multiLine", multiline)
-          .option("quote", '"')
-          .option("escape", '"')
-          .option("inferSchema", False)
-          .csv(path))
-    cleaned = [F.regexp_replace(F.col(c), "[\t\r\n]", replacement).alias(c)
+        # quoted newlines present -> the PARALLEL multiline scanner
+        # (quote-parity block splitting, sources/tsv.py above) instead
+        # of univocity's one-task-per-file multiLine mode
+        multiline = "parallel" if odd_lines else False
+    if multiline == "parallel":
+        df = read_csv_multiline_parallel(spark, path, header=header)
+    else:
+        df = (spark.read
+              .option("header", header)
+              .option("multiLine", multiline)
+              .option("quote", '"')
+              .option("escape", '"')
+              .option("inferSchema", False)
+              .csv(path))
+    # CRLF is ONE replacement char (csv2tsv.d:335-339: "Replace the CR
+    # with the replacement char ... next write region starts after the
+    # LF"), lone TAB/CR/LF one each. The alternation must try \r\n
+    # first. (univocity's multiLine reader pre-normalizes CRLF to LF so
+    # the distinction never reached this regex; the parallel scanner
+    # preserves raw bytes.)
+    cleaned = [F.regexp_replace(F.col(c), "\r\n|[\t\r\n]",
+                                replacement).alias(c)
                for c in df.columns]
     return df.select(*cleaned)
 
