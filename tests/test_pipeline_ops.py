@@ -232,6 +232,18 @@ class TestFieldListEscapes:
         # negated classes translate too
         assert set(resolve_fields(cols, ["[!a]"])) == {"-", "z", "m"}
 
+    def test_bracket_first_member_close_bracket(self):
+        # fnmatch/re both read a ']' right after '[' or '[!' as a
+        # literal MEMBER — the escaped-spec translator must not close
+        # the class there (pre-fix: uncaught re.error). Specs carry an
+        # escape so they route through the translator.
+        from tsv_utils_spark.functions.fieldlist import resolve_fields
+
+        cols = ["xa", "]a", "ba"]
+        got = set(resolve_fields(cols, ["[!]x]\\a"]))  # not ] or x, 'a'
+        assert got == {"ba"}
+        assert set(resolve_fields(cols, ["[]x]\\a"])) == {"]a", "xa"}
+
     def test_dangling_backslash_raises(self):
         from tsv_utils_spark.functions.fieldlist import resolve_fields
 

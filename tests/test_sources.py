@@ -311,6 +311,59 @@ class TestParallelMultilineCsv:
         ids = sorted(int(r["id"]) for r in out.collect())
         assert ids == list(range(30))  # 3 headers skipped, 30 records
 
+    def test_compressed_input_rejected_and_auto_falls_back(
+            self, spark, tmp_path):
+        import gzip
+
+        from tsv_utils_spark.sources.tsv import (
+            csv_to_tsv_df,
+            read_csv_multiline_parallel,
+        )
+
+        p = str(tmp_path / "z.csv.gz")
+        with gzip.open(p, "wt") as f:
+            f.write('id,v\n1,"a\nb"\n2,c\n')
+        with pytest.raises(ValueError, match="compressed"):
+            read_csv_multiline_parallel(spark, p)
+        # auto detects the quoted newline, tries parallel, falls back
+        # to the exact serial parser instead of failing
+        out = {tuple(r) for r in
+               csv_to_tsv_df(spark, p, multiline="auto").collect()}
+        assert out == {("1", "a b"), ("2", "c")}
+
+    def test_empty_first_part_file_skipped(self, spark, tmp_path):
+        from tsv_utils_spark.sources.tsv import read_csv_multiline_parallel
+
+        d = tmp_path / "withempty"
+        d.mkdir()
+        (d / "part-0.csv").write_text("")  # sorts first, 0 bytes
+        (d / "part-1.csv").write_text('id,v\n7,"x\ny"\n')
+        out = read_csv_multiline_parallel(spark, str(d), header=True)
+        rows = [tuple(r) for r in out.collect()]
+        assert rows == [("7", "x\ny")]
+
+    def test_quoted_newline_in_header(self, spark, tmp_path):
+        from tsv_utils_spark.sources.tsv import read_csv_multiline_parallel
+
+        p = str(tmp_path / "qh.csv")
+        with open(p, "w") as f:
+            f.write('"col\none",b\n1,2\n3,4\n')
+        out = read_csv_multiline_parallel(spark, p, header=True)
+        assert out.columns == ["col\none", "b"]
+        assert sorted(map(tuple, out.collect())) == [("1", "2"),
+                                                     ("3", "4")]
+
+    def test_whitespace_only_cells_preserved(self, spark, tmp_path):
+        from tsv_utils_spark.sources.tsv import read_csv_multiline_parallel
+
+        p = str(tmp_path / "ws.csv")
+        with open(p, "w") as f:
+            f.write('id,v\n1,"a\nb"\n2,   \n3, \n')
+        out = {r["id"]: r["v"]
+               for r in read_csv_multiline_parallel(
+                   spark, p, header=True, block_bytes=8).collect()}
+        assert out == {"1": "a\nb", "2": "   ", "3": " "}
+
     def test_no_trailing_newline(self, spark, tmp_path):
         from tsv_utils_spark.sources.tsv import read_csv_multiline_parallel
 

@@ -88,29 +88,32 @@ def _resolve_escaped(columns: list[str], s: str) -> list[str]:
         # literals are safe both inside and outside classes.
         parts: list[str] = []
         in_class = False
-        prev_open = False  # previous token opened a class ([! -> [^)
+        first_member = False  # at '[', and still at '[!': a ']' HERE
+        #                       is a literal member (fnmatch and re
+        #                       agree on first-position ']')
         for ch, esc in toks:
             if esc:
                 parts.append(re.escape(ch))
+                first_member = False
             elif not in_class and ch == "*":
                 parts.append(".*")
             elif not in_class and ch == "?":
                 parts.append(".")
             elif not in_class and ch == "[":
                 in_class = True
-                prev_open = True
+                first_member = True
                 parts.append("[")
-                continue
-            elif in_class and ch == "!" and prev_open:
-                parts.append("^")
-            elif in_class and ch == "]" and not prev_open:
+            elif in_class and ch == "!" and first_member:
+                parts.append("^")  # stay first_member: ']' after [! is
+                #                    still a literal member
+            elif in_class and ch == "]" and not first_member:
                 in_class = False
                 parts.append("]")
             elif in_class:
                 parts.append(ch)  # raw: unescaped ranges a-z keep meaning
+                first_member = False
             else:
                 parts.append(re.escape(ch))
-            prev_open = False
         if in_class:
             raise ValueError(f"unterminated character class in field "
                              f"spec {s!r}")

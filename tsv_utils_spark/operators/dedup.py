@@ -500,28 +500,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
         sc = spark.sparkContext
         sc.setCheckpointDir(checkpoint_dir)
         jvm = sc._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
-        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs = jvm.org.apache.hadoop.fs.Path(checkpoint_dir) \
+            .getFileSystem(sc._jsc.hadoopConfiguration())
 
-        def _rdd_dirs() -> set:
-            out = set()
-            if not fs.exists(hpath):
-                return out
-            for st in fs.listStatus(hpath):  # <dir>/<context-uuid>/rdd-N
-                if st.isDirectory():
-                    for st2 in fs.listStatus(st.getPath()):
-                        out.add(str(st2.getPath()))
-            return out
-
-        ours: list = []  # our rounds' rdd dirs, oldest first
+        ours: list = []  # our rounds' EXACT rdd dirs, oldest first
 
         def _persist_round(df):
-            before = _rdd_dirs()
             out = df.checkpoint(eager=True)
-            ours.extend(sorted(_rdd_dirs() - before))
-            # keep current + previous; drop older rounds WE created
-            # (the before/after diff never claims concurrent
-            # checkpoints from other jobs in the same app)
+            # the checkpointed plan is a LogicalRDD over a
+            # ReliableCheckpointRDD whose file path is queryable — so
+            # cleanup deletes exactly OUR rounds' dirs, never a
+            # concurrent job's checkpoint in the same app
+            opt = out._jdf.queryExecution().analyzed() \
+                .rdd().getCheckpointFile()
+            if opt.isDefined():
+                ours.append(opt.get())
+            # keep current + previous (round k+1 reads only round k)
             while len(ours) > 2:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(ours.pop(0)),
                           True)

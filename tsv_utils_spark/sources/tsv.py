@@ -175,12 +175,36 @@ def read_csv_multiline_parallel(spark: SparkSession, path: str,
     files = _list_csv_files(spark, path)
     if not files:
         raise FileNotFoundError(path)
+    _CODEC_EXTS = (".gz", ".bz2", ".zst", ".zstd", ".lz4", ".snappy",
+                   ".deflate", ".br", ".xz")
+    compressed = [u for u in files if u.lower().endswith(_CODEC_EXTS)]
+    if compressed:
+        # raw byte offsets are meaningless inside a compression stream;
+        # Spark's own readers decompress transparently — stay there
+        raise ValueError(
+            f"read_csv_multiline_parallel reads raw byte ranges and "
+            f"cannot split compressed files (e.g. {compressed[0]!r}) — "
+            f"use csv_to_tsv_df(multiline=True)")
 
     import pyarrow.fs as pafs
 
     def _open(uri):
         fs, p = pafs.FileSystem.from_uri(uri)
         return fs, p
+
+    # pyarrow.fs must understand the scheme (file://, s3://, hdfs://
+    # with libhdfs, gcs://...); s3a://, abfss:// etc. are Hadoop-only.
+    # Probe ONE file here so an unsupported scheme raises a clear error
+    # at the driver (csv_to_tsv_df's "auto" catches it and falls back
+    # to the univocity path).
+    try:
+        fs0, p0 = _open(files[0])
+        fs0.get_file_info(p0)
+    except Exception as e:
+        raise ValueError(
+            f"read_csv_multiline_parallel: pyarrow cannot open "
+            f"{files[0]!r} ({e}) — this scheme needs the built-in "
+            f"Spark reader; use csv_to_tsv_df(multiline=True)") from e
 
     sizes = {}
     for uri in files:
@@ -204,18 +228,32 @@ def read_csv_multiline_parallel(spark: SparkSession, path: str,
             if off >= size:
                 break
 
-    # column names from the first file's header line (driver-side read
-    # of one small slice)
-    fs0, p0 = _open(files[0])
-    with fs0.open_input_stream(p0) as f:
-        head = f.read(1 << 20)
-    first_nl = head.find(b"\n")
-    header_line = head[: first_nl if first_nl >= 0 else len(head)]
-    import io as _io
+    # column names from the first FULL RECORD of the first non-empty
+    # file (driver-side read of one small slice). "First record", not
+    # "first physical line": a quoted header cell may itself contain a
+    # newline, so cut at the first EVEN-QUOTE-PARITY newline.
     import csv as _csv
+    import io as _io
 
+    import numpy as _np
+
+    header_rec = None
+    for uri in files:
+        if sizes[uri] == 0:
+            continue
+        fs1, p1 = _open(uri)
+        with fs1.open_input_stream(p1) as f:
+            head = f.read(4 << 20)
+        hb = _np.frombuffer(head, dtype=_np.uint8)
+        q = _np.flatnonzero(hb == 0x22)
+        n = _np.flatnonzero(hb == 0x0A)
+        even = n[(_np.searchsorted(q, n) & 1) == 0]
+        header_rec = head[: int(even[0]) + 1] if len(even) else head
+        break
+    if header_rec is None:
+        raise ValueError(f"no non-empty files under {path!r}")
     first_row = next(_csv.reader(
-        _io.StringIO(header_line.decode("utf-8", "replace"))))
+        _io.StringIO(header_rec.decode("utf-8", "replace"))))
     names = ([c if c else f"_c{i}" for i, c in enumerate(first_row)]
              if header else [f"_c{i}" for i in range(len(first_row))])
 
@@ -281,7 +319,16 @@ def read_csv_multiline_parallel(spark: SparkSession, path: str,
                     # this block yield exactly those starts.
                     bnd = boundaries(buf, st)  # local s offsets, >=1
                     if start == 0:
-                        first = 0
+                        if not header:
+                            first = 0
+                        elif len(bnd):
+                            # skip the header RECORD exactly: it ends
+                            # at the first parity boundary (pyarrow's
+                            # skip_rows counts physical lines and
+                            # would split a quoted multi-line header)
+                            first = int(bnd[0])
+                        else:
+                            continue  # file is all header
                     elif len(bnd):
                         first = int(bnd[0])
                     else:
@@ -311,13 +358,12 @@ def read_csv_multiline_parallel(spark: SparkSession, path: str,
                 chunk = buf.tobytes()[first:] + bytes(tail) \
                     if stop is None else \
                     (buf.tobytes() + bytes(tail))[first:stop]
-                if not chunk.strip():
+                if not chunk:  # not strip(): whitespace cells are data
                     continue
-                skip = 1 if (start == 0 and header) else 0
                 tbl = pacsv.read_csv(
                     pa.BufferReader(chunk),
                     read_options=pacsv.ReadOptions(
-                        column_names=bc_names.value, skip_rows=skip,
+                        column_names=bc_names.value,
                         use_threads=False),
                     parse_options=pacsv.ParseOptions(
                         newlines_in_values=True, quote_char='"',
@@ -382,8 +428,20 @@ def csv_to_tsv_df(spark: SparkSession, path: str, header: bool = True,
                      .agg(F.sum("odd").alias("n")).first()["n"])
         # quoted newlines present -> the PARALLEL multiline scanner
         # (quote-parity block splitting, sources/tsv.py above) instead
-        # of univocity's one-task-per-file multiLine mode
-        multiline = "parallel" if odd_lines else False
+        # of univocity's one-task-per-file multiLine mode. Inputs the
+        # scanner cannot take (compressed files, Hadoop-only URI
+        # schemes) raise ValueError at plan time — fall back to the
+        # exact serial parser rather than failing "auto".
+        if odd_lines:
+            try:
+                return _csv_clean(
+                    read_csv_multiline_parallel(spark, path,
+                                                header=header),
+                    replacement)
+            except ValueError:
+                multiline = True
+        else:
+            multiline = False
     if multiline == "parallel":
         df = read_csv_multiline_parallel(spark, path, header=header)
     else:
@@ -394,12 +452,16 @@ def csv_to_tsv_df(spark: SparkSession, path: str, header: bool = True,
               .option("escape", '"')
               .option("inferSchema", False)
               .csv(path))
-    # CRLF is ONE replacement char (csv2tsv.d:335-339: "Replace the CR
-    # with the replacement char ... next write region starts after the
-    # LF"), lone TAB/CR/LF one each. The alternation must try \r\n
-    # first. (univocity's multiLine reader pre-normalizes CRLF to LF so
-    # the distinction never reached this regex; the parallel scanner
-    # preserves raw bytes.)
+    return _csv_clean(df, replacement)
+
+
+def _csv_clean(df: DataFrame, replacement: str) -> DataFrame:
+    """TSV-normalize every cell. CRLF is ONE replacement char
+    (csv2tsv.d:335-339: "Replace the CR with the replacement char ...
+    next write region starts after the LF"), lone TAB/CR/LF one each —
+    the alternation must try \\r\\n first. (univocity's multiLine
+    reader pre-normalizes CRLF to LF so the distinction never reached
+    this regex; the parallel scanner preserves raw bytes.)"""
     cleaned = [F.regexp_replace(F.col(c), "\r\n|[\t\r\n]",
                                 replacement).alias(c)
                for c in df.columns]
