@@ -1018,6 +1018,34 @@ def q_csv2tsv_roundtrip(spark, sf_dir):
                        "tricky")
 
 
+@q("csv2tsv_multiline_par", """
+SELECT doc_id, lang || ' "' || source || '" ' || n_chars AS tricky
+FROM documents
+""")
+def q_csv2tsv_multiline_par(spark, sf_dir):
+    # the parallel quoted-newline scanner end-to-end: build cells with
+    # EMBEDDED LF and CRLF plus quotes/commas, write as quoted CSV
+    # (the writer quotes multi-line cells), read back through the
+    # quote-parity block scanner (multiline='parallel' forces it), and
+    # TSV-normalize: LF -> one space, CRLF -> ONE space
+    # (csv2tsv.d:335-347). The oracle predicts the final value straight
+    # from parquet.
+    from tsv_utils_spark.sources.tsv import csv_to_tsv_df
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/csv2tsv_mlpar_{tag}"
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit('\n"'), F.col("source"),
+                 F.lit('"\r\n'), F.col("n_chars").cast("string"))
+         .alias("tricky"))
+    (d.write.mode("overwrite").option("header", True)
+      .option("quote", '"').option("escape", '"').csv(path))
+    back = csv_to_tsv_df(spark, path, multiline="parallel")
+    return back.select(F.col("doc_id").try_cast("long").alias("doc_id"),
+                       "tricky")
+
+
 @q("uniq_wholeline", """
 SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 """)
@@ -2450,7 +2478,7 @@ _FRONT_OF_BOARD = [
     # rotate to the back.  After this round every query's most recent
     # driver row is dated r3+ (and r1/r2 stragglers are refreshed).
     # round-5 additions (never driver-run):
-    "events_asof_attrib", "events_error_window",
+    "events_asof_attrib", "events_error_window", "csv2tsv_multiline_par",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
@@ -2467,9 +2495,10 @@ _FRONT_OF_BOARD = [
     "filter_numeric_classes", "format_number", "summarize_retain",
     "ngram_jaccard_pairs", "uniq_ignore_case", "events_hourly",
     "events_sessions", "join_append_dup", "tsv_roundtrip",
-    "csv2tsv_roundtrip", "uniq_wholeline", "unique_values_first_seen",
-    # (filter_len, sample_replacement_det stay r3-green on the back
-    # board — displaced by the two round-5 additions)
+    "csv2tsv_roundtrip", "uniq_wholeline",
+    # (unique_values_first_seen, filter_len, sample_replacement_det
+    # stay r3-green on the back board — displaced by the three
+    # round-5 additions)
 ]
 
 
