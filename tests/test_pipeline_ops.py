@@ -244,6 +244,24 @@ class TestFieldListEscapes:
         assert got == {"ba"}
         assert set(resolve_fields(cols, ["[]x]\\a"])) == {"]a", "xa"}
 
+    def test_double_bang_and_caret_first_member(self):
+        # fnmatch parity for the other first-member specials: a second
+        # '!' after '[!' is a literal member (negate once), and an
+        # unescaped '^' first-in-class is a literal member, not regex
+        # negation
+        import fnmatch
+
+        from tsv_utils_spark.functions.fieldlist import resolve_fields
+
+        cols = ["!a", "^a", "za"]
+        got = set(resolve_fields(cols, ["[!!]\\a"]))  # not-'!', then a
+        want = {c for c in cols if fnmatch.fnmatch(c, "[!!]a")}
+        assert got == want == {"^a", "za"}
+        cols2 = ["^b", "ab", "zb"]
+        got2 = set(resolve_fields(cols2, ["[^a]\\b"]))  # '^' or 'a', b
+        want2 = {c for c in cols2 if fnmatch.fnmatch(c, "[^a]b")}
+        assert got2 == want2 == {"^b", "ab"}
+
     def test_dangling_backslash_raises(self):
         from tsv_utils_spark.functions.fieldlist import resolve_fields
 

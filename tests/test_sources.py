@@ -364,6 +364,18 @@ class TestParallelMultilineCsv:
                    spark, p, header=True, block_bytes=8).collect()}
         assert out == {"1": "a\nb", "2": "   ", "3": " "}
 
+    def test_first_record_over_head_read_raises(self, spark, tmp_path):
+        # a first record bigger than the driver's header read must
+        # raise (wrong silent column inference would misparse every
+        # block), pointing at the serial parser
+        from tsv_utils_spark.sources.tsv import read_csv_multiline_parallel
+
+        p = str(tmp_path / "bighead.csv")
+        with open(p, "w") as f:
+            f.write('id,"' + "x" * (5 << 20) + '\n')  # no closing line
+        with pytest.raises(ValueError, match="exceeds"):
+            read_csv_multiline_parallel(spark, p, header=True)
+
     def test_no_trailing_newline(self, spark, tmp_path):
         from tsv_utils_spark.sources.tsv import read_csv_multiline_parallel
 

@@ -88,30 +88,36 @@ def _resolve_escaped(columns: list[str], s: str) -> list[str]:
         # literals are safe both inside and outside classes.
         parts: list[str] = []
         in_class = False
-        first_member = False  # at '[', and still at '[!': a ']' HERE
-        #                       is a literal member (fnmatch and re
-        #                       agree on first-position ']')
+        at_open = False       # immediately after '[': '!' negates HERE
+        #                       only (a second '!' is a literal member)
+        first_member = False  # at '[' or after '[!': ']' and '^' HERE
+        #                       are literal members (fnmatch semantics;
+        #                       re agrees for ']', '^' needs escaping)
         for ch, esc in toks:
             if esc:
                 parts.append(re.escape(ch))
-                first_member = False
+                at_open = first_member = False
             elif not in_class and ch == "*":
                 parts.append(".*")
             elif not in_class and ch == "?":
                 parts.append(".")
             elif not in_class and ch == "[":
                 in_class = True
-                first_member = True
+                at_open = first_member = True
                 parts.append("[")
-            elif in_class and ch == "!" and first_member:
-                parts.append("^")  # stay first_member: ']' after [! is
-                #                    still a literal member
-            elif in_class and ch == "]" and not first_member:
+            elif in_class and ch == "!" and at_open:
+                parts.append("^")
+                at_open = False  # first_member stays: ']' after '[!'
+                #                  is still a literal member
+            elif in_class and first_member and ch in "]^":
+                parts.append(re.escape(ch))  # literal member
+                at_open = first_member = False
+            elif in_class and ch == "]":
                 in_class = False
                 parts.append("]")
             elif in_class:
                 parts.append(ch)  # raw: unescaped ranges a-z keep meaning
-                first_member = False
+                at_open = first_member = False
             else:
                 parts.append(re.escape(ch))
         if in_class:

@@ -142,6 +142,21 @@ def _list_csv_files(spark: SparkSession, path: str) -> list[str]:
     return sorted(spark.read.format("text").load(path).inputFiles())
 
 
+def _parity_boundaries(buf, state: int):
+    """Record-start offsets (position AFTER each even-quote-parity
+    newline) in a byte buffer, given the in-quote ``state`` at its
+    first byte. THE quote-parity primitive — used by the driver header
+    scan and every executor block task; keep one copy."""
+    import numpy as np
+
+    q = np.flatnonzero(buf == 0x22)
+    n = np.flatnonzero(buf == 0x0A)
+    if not len(n):
+        return np.empty(0, dtype=np.int64)
+    par = (np.searchsorted(q, n) + state) & 1
+    return n[par == 0] + 1
+
+
 def read_csv_multiline_parallel(spark: SparkSession, path: str,
                                 header: bool = True,
                                 block_bytes: int | None = None) -> DataFrame:
@@ -194,22 +209,18 @@ def read_csv_multiline_parallel(spark: SparkSession, path: str,
 
     # pyarrow.fs must understand the scheme (file://, s3://, hdfs://
     # with libhdfs, gcs://...); s3a://, abfss:// etc. are Hadoop-only.
-    # Probe ONE file here so an unsupported scheme raises a clear error
-    # at the driver (csv_to_tsv_df's "auto" catches it and falls back
-    # to the univocity path).
+    # Any driver-side listing failure becomes ValueError so
+    # csv_to_tsv_df's "auto" can fall back to the univocity path.
+    sizes = {}
     try:
-        fs0, p0 = _open(files[0])
-        fs0.get_file_info(p0)
+        for uri in files:
+            fs, p = _open(uri)
+            sizes[uri] = fs.get_file_info(p).size
     except Exception as e:
         raise ValueError(
             f"read_csv_multiline_parallel: pyarrow cannot open "
-            f"{files[0]!r} ({e}) — this scheme needs the built-in "
+            f"{uri!r} ({e}) — this scheme needs the built-in "
             f"Spark reader; use csv_to_tsv_df(multiline=True)") from e
-
-    sizes = {}
-    for uri in files:
-        fs, p = _open(uri)
-        sizes[uri] = fs.get_file_info(p).size
     if block_bytes is None:
         # aim for ~4 blocks per core (pipelining + stragglers), clamped
         # to [4MB, 64MB] — one task per block
@@ -237,18 +248,25 @@ def read_csv_multiline_parallel(spark: SparkSession, path: str,
 
     import numpy as _np
 
+    _HEAD_READ = 4 << 20
     header_rec = None
     for uri in files:
         if sizes[uri] == 0:
             continue
         fs1, p1 = _open(uri)
         with fs1.open_input_stream(p1) as f:
-            head = f.read(4 << 20)
-        hb = _np.frombuffer(head, dtype=_np.uint8)
-        q = _np.flatnonzero(hb == 0x22)
-        n = _np.flatnonzero(hb == 0x0A)
-        even = n[(_np.searchsorted(q, n) & 1) == 0]
-        header_rec = head[: int(even[0]) + 1] if len(even) else head
+            head = f.read(_HEAD_READ)
+        even = _parity_boundaries(
+            _np.frombuffer(head, dtype=_np.uint8), 0)
+        if len(even):
+            header_rec = head[: int(even[0])]
+        elif len(head) < _HEAD_READ:
+            header_rec = head  # whole (newline-free) file IS the record
+        else:
+            raise ValueError(
+                f"first record of {uri!r} exceeds {_HEAD_READ} bytes — "
+                f"cannot infer the column count; use "
+                f"csv_to_tsv_df(multiline=True)")
         break
     if header_rec is None:
         raise ValueError(f"no non-empty files under {path!r}")
@@ -292,17 +310,12 @@ def read_csv_multiline_parallel(spark: SparkSession, path: str,
         import pyarrow.csv as pacsv
         import pyarrow.fs as pafs2
 
+        from tsv_utils_spark.sources.tsv import (
+            _parity_boundaries as boundaries,
+        )
+
         out_schema = pa.schema([(c, pa.string())
                                 for c in bc_names.value])
-
-        def boundaries(buf, state):
-            """Offsets AFTER each even-parity newline in buf."""
-            q = np.flatnonzero(buf == 0x22)
-            n = np.flatnonzero(buf == 0x0A)
-            if not len(n):
-                return np.empty(0, dtype=np.int64)
-            par = (np.searchsorted(q, n) + state) & 1
-            return n[par == 0] + 1
 
         for batch in iterator:
             for row in batch.to_pylist():
