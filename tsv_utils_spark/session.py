@@ -20,8 +20,12 @@ def get_spark(app_name: str = "tsv_utils_spark",
               extra_conf: dict | None = None) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    # SPARK_GRAFT_MASTER overrides the local[] default so the same
+    # entry points run unchanged under spark-submit against a real
+    # cluster (e.g. spark://127.0.0.1:7077 for the scaling evidence)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
