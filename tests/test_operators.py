@@ -497,6 +497,43 @@ class TestMisc:
         col = [ln.rstrip()[-4:] for ln in lines[2:]]
         assert col == ["   7", "1000", "   3"]
 
+    def test_significant_digits_reference_fixtures(self):
+        # the reference's own unit tests, verbatim
+        # (tsv-pretty.d:1239-1252)
+        from tsv_utils_spark.operators.misc import _significant_digits
+
+        cases = {"0": 1, "10": 2, "0.0": 1, "-10.0": 2, "-.01": 1,
+                 "-.5401": 4, "1010.010": 6, "0.0003003": 4,
+                 "6e+06": 1, "6.0e+06": 1, "6.5e+06": 2,
+                 "6.005e+06": 4}
+        for s, want in cases.items():
+            assert _significant_digits(s) == want, (s, want)
+
+    def test_pretty_exponent_column_formatting(self, spark):
+        # exponential notation supersedes floats/ints for the column;
+        # under --format-floats every value renders at the column's
+        # shared precision: short values ZERO-PAD (own digits kept),
+        # long values round (tsv-pretty.d:1125-1165)
+        import pandas as pd
+
+        from tsv_utils_spark.operators.misc import pretty
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "e": ["6e+06", "6.005e+06", "1.25", "0.5"],
+        }))
+        s = pretty(df, n=4, format_floats=True)
+        lines = [ln.strip() for ln in s.split("\n")[1:]]
+        # max significant = 4 (6.005e+06) -> precision 3
+        assert lines[0] == "6.000e+06"   # padded, not re-rounded
+        assert lines[1] == "6.005e+06"
+        assert lines[2] == "1.250e+00"   # plain floats join the format
+        assert lines[3] == "5.000e-01"
+        # without format_floats: raw values, right-aligned
+        raw = pretty(df, n=4, format_floats=False).split("\n")[1:]
+        assert [r.strip() for r in raw] == ["6e+06", "6.005e+06",
+                                            "1.25", "0.5"]
+        assert all(r == r.rjust(len(raw[1])) for r in raw)
+
 
 class TestNumFormat:
     def test_python_twin(self):

@@ -94,6 +94,56 @@ def number_lines_distributed(df: DataFrame, start: int = 1,
     return df.mapInPandas(gen, schema=schema)
 
 
+def _significant_digits(s: str) -> int:
+    """Significant digits of a numeric string (tsv-pretty.d:1205-1236):
+    from the first nonzero digit to the last significant one — trailing
+    zeros count UNLESS there is a decimal point in that span; always at
+    least 1 for a finite number ("0" has one significant digit)."""
+    import math
+    import re as _re
+
+    try:
+        d = float(s)
+    except ValueError:
+        return 0
+    if not math.isfinite(d):
+        return 0
+    m = _re.search(r"[1-9]", s)
+    if not m:
+        return 1  # zeros only
+    part = _re.split(r"[eE]", s[m.start():])[0]
+    if "." in part:
+        part = part.rstrip("0")
+        sig = len(part) - 1
+    else:
+        sig = len(part)
+    return max(sig, 1)
+
+
+def _format_exponent(s: str, precision: int) -> str:
+    """tsv-pretty's formatExponentValue (tsv-pretty.d:1125-1165):
+    values with at least ``precision`` significant fraction digits are
+    rounded with ``%.{precision}e``; shorter values keep their OWN
+    digits and are zero-padded before the exponent (never inventing
+    rounded digits). NaN/Infinity/unparseable pass through raw."""
+    import math
+
+    try:
+        d = float(s)
+    except ValueError:
+        return s
+    if not math.isfinite(d):
+        return s
+    nsig = _significant_digits(s)
+    nprec = nsig - 1 if nsig else 0
+    if nprec >= precision:
+        return f"{d:.{precision}e}"
+    mant, _, exp = f"{d:.{nprec}e}".partition("e")
+    if nprec == 0:
+        return f"{mant}.{'0' * precision}e{exp}"
+    return f"{mant}{'0' * (precision - nprec)}e{exp}"
+
+
 def pretty(df: DataFrame, n: int = 20, lookahead: int = 1000,
            header: bool = True, underline_header: bool = False,
            format_floats: bool = False, float_precision: int = 9,
@@ -127,9 +177,11 @@ def pretty(df: DataFrame, n: int = 20, lookahead: int = 1000,
 
     def decimals(v) -> int:
         s = str(v)
-        if "e" in s.lower():
-            return float_precision
         return len(s.split(".", 1)[1]) if "." in s else 0
+
+    def is_exp(v) -> bool:
+        s = str(v)
+        return ("e" in s or "E" in s) and parse_num(v) is not None
 
     cols = list(pdf.columns)
     rendered: dict[str, list[str]] = {}
@@ -138,8 +190,25 @@ def pretty(df: DataFrame, n: int = 20, lookahead: int = 1000,
         sample = [v for v in look[c].tolist() if v is not None and str(v) != ""]
         nums = [parse_num(v) for v in sample]
         is_numeric = bool(sample) and all(x is not None for x in nums)
+        # exponential notation supersedes floats and integers
+        # (tsv-pretty.d:948): the whole column renders in exponential
+        # form at a shared precision under --format-floats
+        exp_col = is_numeric and any(is_exp(v) for v in sample)
         vals = pdf[c].tolist()
-        if is_numeric:
+        if exp_col:
+            max_sig = max((_significant_digits(str(v)) for v in sample),
+                          default=0)
+            prec = min(float_precision, max_sig - 1 if max_sig else 0)
+            out = []
+            for v in vals:
+                if v is None or str(v) == "":
+                    out.append(empty_replacement)
+                elif format_floats:
+                    out.append(_format_exponent(str(v), prec))
+                else:
+                    out.append(str(v))
+            rendered[c] = out
+        elif is_numeric:
             prec = min(float_precision,
                        max((decimals(v) for v in sample), default=0))
             out = []
