@@ -2125,6 +2125,52 @@ def q_decontaminate_near(spark, sf_dir):
                               F.lit(n_found >= len(planted)))
 
 
+@q("dsir_scores_det", r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t,
+         length(trim(coalesce(text, ''))) AS tl
+  FROM documents
+), gb AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 13))::UBIGINT % 8192 AS BIGINT) AS b
+  FROM (SELECT doc_id, lang, unnest(
+          t || [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+        ) AS g
+        FROM toks WHERE tl > 0)
+), nb AS (SELECT doc_id, b, count(*) AS n FROM gb GROUP BY 1, 2),
+rc AS (SELECT b, sum(n) AS cr FROM nb GROUP BY 1),
+tc AS (SELECT b, count(*) AS ct FROM gb WHERE lang = 'zh' GROUP BY 1),
+tot AS (SELECT (SELECT sum(cr) FROM rc) AS totr,
+               (SELECT coalesce(sum(ct), 0) FROM tc) AS tott),
+llr AS (
+  SELECT rc.b,
+         CAST(round((ln(coalesce(tc.ct, 0) + 1) - ln(tot.tott + 8192)
+                   - ln(rc.cr + 1) + ln(tot.totr + 8192)) * 1000000)
+              AS BIGINT) AS q
+  FROM rc LEFT JOIN tc USING (b), tot
+)
+SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS dsir_score
+FROM documents d LEFT JOIN (
+  SELECT nb.doc_id, sum(nb.n * llr.q) AS score
+  FROM nb JOIN llr USING (b) GROUP BY 1
+) s USING (doc_id)
+""")
+def q_dsir_scores_det(spark, sf_dir):
+    # DSIR importance scoring (Xie et al. 2023): hashed unigram+bigram
+    # buckets, Laplace-smoothed target(lang=zh)-vs-raw log-likelihood
+    # ratios QUANTIZED to integer micro-nats — scores are exact int64
+    # dot products, so the oracle reproduces them bit-for-bit (the only
+    # float steps are per-bucket ln() + one half-away round, identical
+    # on both engines). operators/importance.py.
+    _ensure_shipped(spark)
+    from tsv_utils_spark.operators.importance import dsir_scores
+
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.where(F.col("lang") == "zh")
+    return dsir_scores(d, tgt, "text", "doc_id")
+
+
 @q("ngram_contamination", r"""
 WITH span AS (
   SELECT substr(coalesce(text, ''), 1, 120) AS sp FROM documents
@@ -2479,6 +2525,7 @@ _FRONT_OF_BOARD = [
     # driver row is dated r3+ (and r1/r2 stragglers are refreshed).
     # round-5 additions (never driver-run):
     "events_asof_attrib", "events_error_window", "csv2tsv_multiline_par",
+    "dsir_scores_det",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
@@ -2495,10 +2542,10 @@ _FRONT_OF_BOARD = [
     "filter_numeric_classes", "format_number", "summarize_retain",
     "ngram_jaccard_pairs", "uniq_ignore_case", "events_hourly",
     "events_sessions", "join_append_dup", "tsv_roundtrip",
-    "csv2tsv_roundtrip", "uniq_wholeline",
-    # (unique_values_first_seen, filter_len, sample_replacement_det
-    # stay r3-green on the back board — displaced by the three
-    # round-5 additions)
+    "csv2tsv_roundtrip",
+    # (uniq_wholeline, unique_values_first_seen, filter_len,
+    # sample_replacement_det stay r3-green on the back board —
+    # displaced by the four round-5 additions)
 ]
 
 

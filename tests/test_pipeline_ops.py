@@ -666,6 +666,108 @@ class TestAsofRangeJoin:
             out.collect()
 
 
+class TestDsirImportance:
+    def _ref_scores(self, docs, targets, sizes=(1, 2), buckets=512,
+                    scale=1_000_000):
+        """Independent pure-Python DSIR reference (md5 bucket hashing
+        identical by construction; everything else reimplemented)."""
+        import hashlib
+        import math
+        import re as _re
+        from collections import Counter
+
+        def grams(text):
+            t = _re.split(r"[ \t\n\f\r]+",
+                          (text or "").strip().lower())
+            if t == [""]:
+                return []
+            out = []
+            for n in sizes:
+                out += [" ".join(t[i:i + n])
+                        for i in range(len(t) - n + 1)]
+            return out
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:13],
+                       16) % buckets
+
+        rco, tco = Counter(), Counter()
+        per_doc = {}
+        for did, text in docs:
+            bs = Counter(bucket(g) for g in grams(text))
+            per_doc[did] = bs
+            rco.update(bs)
+        for _, text in targets:
+            tco.update(bucket(g) for g in grams(text))
+        totr, tott = sum(rco.values()), sum(tco.values())
+        llr = {b: round((math.log(tco.get(b, 0) + 1)
+                         - math.log(tott + buckets)
+                         - math.log(rco.get(b, 0) + 1)
+                         + math.log(totr + buckets)) * scale)
+               for b in rco}
+        return {did: sum(n * llr[b] for b, n in bs.items())
+                for did, bs in per_doc.items()}
+
+    def _corpus(self):
+        rng = np.random.default_rng(17)
+        animals = "cat dog fish bird lion tiger bear wolf".split()
+        code = "def class import return lambda yield async await".split()
+        docs = []
+        for i in range(60):
+            words = animals if i % 2 == 0 else code
+            docs.append((i, " ".join(rng.choice(words, size=12))))
+        docs.append((60, ""))      # empty doc scores 0
+        docs.append((61, None))    # NULL doc scores 0
+        targets = [(100 + i, " ".join(
+            np.random.default_rng(99 + i).choice(code, size=10)))
+            for i in range(5)]
+        return docs, targets
+
+    def test_scores_match_pure_python_reference(self, spark):
+        from tsv_utils_spark.operators.importance import dsir_scores
+
+        docs, targets = self._corpus()
+        raw = spark.createDataFrame(docs, "doc_id long, text string")
+        tgt = spark.createDataFrame(targets, "doc_id long, text string")
+        got = {r["doc_id"]: r["dsir_score"] for r in
+               dsir_scores(raw, tgt, "text", "doc_id",
+                           buckets=512).collect()}
+        want = self._ref_scores(docs, targets, buckets=512)
+        want[60] = want[61] = 0
+        assert got == want
+
+    def test_selects_target_like_documents(self, spark):
+        from tsv_utils_spark.operators.importance import dsir_select
+
+        docs, targets = self._corpus()
+        raw = spark.createDataFrame(docs, "doc_id long, text string")
+        tgt = spark.createDataFrame(targets, "doc_id long, text string")
+        # empty/NULL docs score exactly 0 (empty log-product) and top
+        # an all-negative field — exclude them to rank real content
+        top = [r["doc_id"] for r in
+               dsir_select(raw.where(F.col("doc_id") < 60), tgt,
+                           "text", "doc_id", k=20,
+                           buckets=512).collect()]
+        # targets are code-word docs = odd ids; all 20 picks must be
+        assert all(d % 2 == 1 for d in top), top
+
+    def test_single_content_scan_in_plan(self, spark):
+        # the raw corpus' gram counts feed both the bucket stats and
+        # the score join — exchange reuse must keep it ONE scan-side
+        # aggregation, not two scans of the content
+        from tsv_utils_spark.operators.importance import dsir_scores
+
+        docs, targets = self._corpus()
+        raw = spark.createDataFrame(docs, "doc_id long, text string")
+        tgt = spark.createDataFrame(targets, "doc_id long, text string")
+        s = dsir_scores(raw, tgt, "text", "doc_id", buckets=512)
+        s.collect()
+        plan = s._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "ReusedExchange" in final or final.count("Generate") <= 3, \
+            final[:2000]
+
+
 class TestDecontaminate:
     def test_exact_and_near_modes(self, spark):
         from tsv_utils_spark.operators.dedup import decontaminate

@@ -11,6 +11,7 @@ from tsv_utils_spark.operators.sample import (
 from tsv_utils_spark.operators.select import select_fields
 from tsv_utils_spark.operators.split import split_by_key, split_random
 from tsv_utils_spark.operators.append import append_tables
+from tsv_utils_spark.operators.importance import dsir_scores, dsir_select
 from tsv_utils_spark.operators.dedup import (
     decontaminate,
     exact_dedup,
@@ -46,6 +47,7 @@ from tsv_utils_spark.operators.multimodal import (
 __all__ = [
     "Op", "summarize", "Predicates", "tsv_filter", "join_filter", "uniq",
     "sample", "sample_to_budget", "stratified_sample", "mixture_sample", "select_fields", "split_by_key", "split_random", "append_tables",
+    "dsir_scores", "dsir_select",
     "exact_dedup", "minhash_dedup", "simhash_dedup", "decontaminate",
     "ngram_contamination", "running_total", "pack_sequences", "pack_segments",
     "bloom_semi_join", "bloom_anti_join", "salted_join",

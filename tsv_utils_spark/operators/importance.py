@@ -1,0 +1,125 @@
+"""DSIR-style importance scoring over hashed n-gram features.
+
+Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+scores every raw-corpus document by how target-like its hashed n-gram
+distribution is: features are word n-grams hashed into ``buckets``
+cells, a categorical distribution is fit per corpus with Laplace
+smoothing, and a document's importance weight is
+
+    log w(d) = sum over grams g of d:  log p_target[b(g)] - log p_raw[b(g)]
+
+Top-weight documents are the ones to keep when a pretraining mix should
+look like the (small) target corpus.
+
+Scale shape: everything is Catalyst — tokenize/shingle in whole-stage
+codegen (the shared contract from operators/dedup.py), ONE content scan
+produces per-(doc, bucket) gram counts, bucket statistics reduce to
+``buckets`` rows, and scores are an integer dot product against a
+broadcast bucket table. No Python in the row path, no collect beyond
+1-row scalars.
+
+Determinism contract: the per-bucket log-likelihood ratio is QUANTIZED
+to integer micro-nats (``round(llr * scale)`` with ``scale=1e6``), so a
+document's score is an exact int64 dot product — order-independent,
+engine-portable (the DuckDB oracle reproduces scores bit-for-bit), and
+cheaper to shuffle than doubles. The quantization error (<= 0.5
+micro-nat per gram) is orders of magnitude below the smoothing noise
+DSIR already carries.
+
+Reference connection: this generalizes tsv-summarize's per-key counting
+to distribution matching; hashing reuses the md5-uniform trick the
+sampling operators established (tsv-sample.d:915-944 uses Murmur3 the
+same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tsv_utils_spark.operators.dedup import _tokenize_expr
+
+
+def _gram_counts(df: DataFrame, content_col: str, id_col: str,
+                 sizes: tuple[int, ...], buckets: int) -> DataFrame:
+    """(id, __b, __n): hashed n-gram bucket counts per document — one
+    scan, one shuffle on (id, bucket). A document shorter than ``n``
+    tokens contributes no ``n``-grams (strict DSIR features, unlike the
+    dedup shingles' whole-doc fallback); empty/NULL content contributes
+    nothing at all."""
+    toks = _tokenize_expr(content_col)
+    tok_len = F.when(
+        F.length(F.trim(F.coalesce(F.col(content_col), F.lit("")))) == 0,
+        F.lit(0)).otherwise(F.size(toks))
+    branches = []
+    for n in sizes:
+        cnt = F.greatest(tok_len - n + 1, F.lit(0))
+
+        def make(nn):
+            return lambda i: F.array_join(F.slice(toks, i, nn), " ")
+
+        branches.append(
+            F.when(cnt >= 1,
+                   F.transform(F.sequence(F.lit(1), cnt), make(n)))
+             .otherwise(F.array().cast("array<string>")))
+    grams = F.flatten(F.array(*branches))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 13), 16, 10)
+         .cast("long"),
+        F.lit(buckets))
+    return (df.select(F.col(id_col), F.explode(grams).alias("__g"))
+              .select(F.col(id_col), bucket.alias("__b"))
+              .groupBy(id_col, "__b")
+              .agg(F.count(F.lit(1)).alias("__n")))
+
+
+def dsir_scores(raw: DataFrame, target: DataFrame, content_col: str,
+                id_col: str, sizes: tuple[int, ...] = (1, 2),
+                buckets: int = 8192,
+                scale: int = 1_000_000) -> DataFrame:
+    """(id, dsir_score): quantized DSIR importance weight of every raw
+    document (int64 micro-nats; higher = more target-like). Documents
+    with no grams score 0.
+
+    Laplace-smoothed bucket probabilities: p[b] = (c[b]+1)/(total+B).
+    The per-bucket llr table is ``buckets`` rows and broadcast; corpus
+    totals enter the plan as 1-row cross joins (no driver round trip),
+    so the whole computation is one action."""
+    rn = _gram_counts(raw, content_col, id_col, sizes, buckets)
+    tn = _gram_counts(target, content_col, id_col, sizes, buckets)
+    rc = rn.groupBy("__b").agg(F.sum("__n").alias("__cr"))
+    tc = tn.groupBy("__b").agg(F.sum("__n").alias("__ct"))
+    tot_r = rc.agg(F.sum("__cr").alias("__totr"))
+    tot_t = tc.agg(F.sum("__ct").alias("__tott"))
+    cnts = (rc.join(tc, "__b", "full")
+              .select("__b",
+                      F.coalesce("__cr", F.lit(0)).alias("__cr"),
+                      F.coalesce("__ct", F.lit(0)).alias("__ct"))
+              .crossJoin(F.broadcast(tot_r))
+              .crossJoin(F.broadcast(tot_t)))
+    llr = (F.log(F.col("__ct") + 1)
+           - F.log(F.col("__tott") + buckets)
+           - F.log(F.col("__cr") + 1)
+           + F.log(F.col("__totr") + buckets))
+    table = cnts.select(
+        "__b", F.round(llr * scale).cast("long").alias("__llr"))
+    scores = (rn.join(F.broadcast(table), "__b")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("__n") * F.col("__llr"))
+                      .alias("dsir_score")))
+    return (raw.select(id_col).distinct()
+               .join(scores, id_col, "left")
+               .select(id_col,
+                       F.coalesce("dsir_score", F.lit(0).cast("long"))
+                        .alias("dsir_score")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, content_col: str,
+                id_col: str, k: int, **kwargs) -> DataFrame:
+    """Top-``k`` most target-like raw documents (deterministic
+    tie-break on id). The plain argmax selection; the published method
+    optionally resamples with Gumbel noise — inject that by adding a
+    seeded perturbation to ``dsir_score`` before ranking."""
+    s = dsir_scores(raw, target, content_col, id_col, **kwargs)
+    return (s.orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
+             .limit(k))
