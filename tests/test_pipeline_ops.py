@@ -677,15 +677,23 @@ class TestDsirImportance:
         from collections import Counter
 
         def grams(text):
-            t = _re.split(r"[ \t\n\f\r]+",
-                          (text or "").strip().lower())
-            if t == [""]:
+            # replicate the ENGINE tokenization contract exactly:
+            # trim() strips SPACES only (leading tabs/newlines survive
+            # and yield an empty first token after the split)
+            s = (text or "").lower().strip(" ")
+            if s == "":
                 return []
+            t = _re.split(r"[ \t\n\f\r]+", s)
             out = []
             for n in sizes:
                 out += [" ".join(t[i:i + n])
                         for i in range(len(t) - n + 1)]
             return out
+
+        def half_away(x):
+            # both engines round half AWAY from zero; Python round()
+            # is half-to-even and would diverge at exact .5 ties
+            return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
 
         def bucket(g):
             return int(hashlib.md5(g.encode()).hexdigest()[:13],
@@ -700,10 +708,10 @@ class TestDsirImportance:
         for _, text in targets:
             tco.update(bucket(g) for g in grams(text))
         totr, tott = sum(rco.values()), sum(tco.values())
-        llr = {b: round((math.log(tco.get(b, 0) + 1)
-                         - math.log(tott + buckets)
-                         - math.log(rco.get(b, 0) + 1)
-                         + math.log(totr + buckets)) * scale)
+        llr = {b: half_away((math.log(tco.get(b, 0) + 1)
+                             - math.log(tott + buckets)
+                             - math.log(rco.get(b, 0) + 1)
+                             + math.log(totr + buckets)) * scale)
                for b in rco}
         return {did: sum(n * llr[b] for b, n in bs.items())
                 for did, bs in per_doc.items()}
@@ -751,7 +759,22 @@ class TestDsirImportance:
         # targets are code-word docs = odd ids; all 20 picks must be
         assert all(d % 2 == 1 for d in top), top
 
-    def test_single_content_scan_in_plan(self, spark):
+    def test_empty_target_corpus_still_scores(self, spark):
+        # an empty target must behave as "total 0" (pure raw-rarity
+        # scores), not NULL-poison every llr into a silent all-zero
+        # result — matches the oracle's coalesce and the reference
+        from tsv_utils_spark.operators.importance import dsir_scores
+
+        docs, _ = self._corpus()
+        raw = spark.createDataFrame(docs, "doc_id long, text string")
+        tgt = spark.createDataFrame([], "doc_id long, text string")
+        got = {r["doc_id"]: r["dsir_score"] for r in
+               dsir_scores(raw, tgt, "text", "doc_id",
+                           buckets=512).collect()}
+        want = self._ref_scores(docs, [], buckets=512)
+        want[60] = want[61] = 0
+        assert got == want
+        assert any(v != 0 for v in got.values())
         # the raw corpus' gram counts feed both the bucket stats and
         # the score join — exchange reuse must keep it ONE scan-side
         # aggregation, not two scans of the content

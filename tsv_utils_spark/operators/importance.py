@@ -40,10 +40,10 @@ from pyspark.sql import functions as F
 from tsv_utils_spark.operators.dedup import _tokenize_expr
 
 
-def _gram_counts(df: DataFrame, content_col: str, id_col: str,
-                 sizes: tuple[int, ...], buckets: int) -> DataFrame:
-    """(id, __b, __n): hashed n-gram bucket counts per document — one
-    scan, one shuffle on (id, bucket). A document shorter than ``n``
+def _gram_bucket_array(content_col: str, sizes: tuple[int, ...],
+                       buckets: int):
+    """Array expression of hashed n-gram bucket ids for one document —
+    whole-stage codegen, no Python. A document shorter than ``n``
     tokens contributes no ``n``-grams (strict DSIR features, unlike the
     dedup shingles' whole-doc fallback); empty/NULL content contributes
     nothing at all."""
@@ -63,12 +63,19 @@ def _gram_counts(df: DataFrame, content_col: str, id_col: str,
                    F.transform(F.sequence(F.lit(1), cnt), make(n)))
              .otherwise(F.array().cast("array<string>")))
     grams = F.flatten(F.array(*branches))
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("__g")), 1, 13), 16, 10)
-         .cast("long"),
-        F.lit(buckets))
-    return (df.select(F.col(id_col), F.explode(grams).alias("__g"))
-              .select(F.col(id_col), bucket.alias("__b"))
+    return F.transform(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 13), 16, 10).cast("long"),
+            F.lit(buckets)))
+
+
+def _gram_counts(df: DataFrame, content_col: str, id_col: str,
+                 sizes: tuple[int, ...], buckets: int) -> DataFrame:
+    """(id, __b, __n): hashed n-gram bucket counts per document — one
+    scan, one shuffle on (id, bucket)."""
+    arr = _gram_bucket_array(content_col, sizes, buckets)
+    return (df.select(F.col(id_col), F.explode(arr).alias("__b"))
               .groupBy(id_col, "__b")
               .agg(F.count(F.lit(1)).alias("__n")))
 
@@ -86,11 +93,19 @@ def dsir_scores(raw: DataFrame, target: DataFrame, content_col: str,
     totals enter the plan as 1-row cross joins (no driver round trip),
     so the whole computation is one action."""
     rn = _gram_counts(raw, content_col, id_col, sizes, buckets)
-    tn = _gram_counts(target, content_col, id_col, sizes, buckets)
     rc = rn.groupBy("__b").agg(F.sum("__n").alias("__cr"))
-    tc = tn.groupBy("__b").agg(F.sum("__n").alias("__ct"))
-    tot_r = rc.agg(F.sum("__cr").alias("__totr"))
-    tot_t = tc.agg(F.sum("__ct").alias("__tott"))
+    # the target needs only per-BUCKET totals — its exploded grams
+    # aggregate straight to __b (no (id, bucket) shuffle; rn keeps the
+    # doc dimension because the score join reuses it)
+    tc = (target.select(F.explode(
+                    _gram_bucket_array(content_col, sizes, buckets))
+                  .alias("__b"))
+                .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct")))
+    # coalesce: an EMPTY corpus must yield total 0, not NULL — a NULL
+    # total would NULL every llr and silently zero all scores (the
+    # oracle coalesces too)
+    tot_r = rc.agg(F.coalesce(F.sum("__cr"), F.lit(0)).alias("__totr"))
+    tot_t = tc.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tott"))
     cnts = (rc.join(tc, "__b", "full")
               .select("__b",
                       F.coalesce("__cr", F.lit(0)).alias("__cr"),

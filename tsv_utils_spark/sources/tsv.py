@@ -260,7 +260,7 @@ def read_csv_multiline_parallel(spark: SparkSession, path: str,
             _np.frombuffer(head, dtype=_np.uint8), 0)
         if len(even):
             header_rec = head[: int(even[0])]
-        elif len(head) < _HEAD_READ:
+        elif len(head) < _HEAD_READ or sizes[uri] <= _HEAD_READ:
             header_rec = head  # whole (newline-free) file IS the record
         else:
             raise ValueError(
