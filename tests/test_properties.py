@@ -206,3 +206,53 @@ class TestTsvRoundtripProperties:
         got = sorted((r[0] or "", r[1] or "") for r in back.collect())
         want = sorted((a, b) for a, b in rows)
         assert got == want
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+class TestAsofJoinProperties:
+    def test_matches_pandas_merge_asof_with_dupes_and_nulls(
+            self, spark, seed):
+        # randomized corpus with left-time collisions, NULL left times,
+        # both directions, with and without tolerance — every
+        # combination must match pandas' merge_asof. Right times are
+        # UNIQUE per key: with duplicates pandas' tie rule flips by
+        # direction (backward keeps the last equal row, forward the
+        # first) while ours is one deterministic right_order rule —
+        # the dedicated unit test pins our tie semantics.
+        from tsv_utils_spark.operators.timeseries import asof_join
+
+        rng = np.random.default_rng(seed)
+        n_l, n_r, users = 250, 120, 7
+        lt = pd.DataFrame({
+            "u": rng.integers(0, users, n_l),
+            # coarse grid -> plenty of exact left-vs-right collisions
+            "t": rng.integers(0, 500, n_l).astype("float64"),
+            "lid": np.arange(n_l)})
+        lt.loc[rng.choice(n_l, 10, replace=False), "t"] = np.nan
+        rt = pd.DataFrame({
+            "u": rng.integers(0, users, n_r),
+            "rt": np.sort(rng.integers(0, 500, n_r)).astype("float64"),
+            "rid": np.arange(n_r)}) \
+            .drop_duplicates(["u", "rt"]).reset_index(drop=True)
+        L = spark.createDataFrame(lt)
+        R = spark.createDataFrame(rt)
+        for direction in ("backward", "forward"):
+            for tol in (None, 50.0):
+                got = asof_join(L, R, on=["u"], left_time="t",
+                                right_time="rt", direction=direction,
+                                tolerance=tol, right_order=["rid"]) \
+                    .toPandas().sort_values("lid").reset_index(drop=True)
+                kw = {} if tol is None else \
+                    {"tolerance": 50.0, "allow_exact_matches": True}
+                want = pd.merge_asof(
+                    lt.dropna(subset=["t"]).sort_values(
+                        ["t", "lid"], kind="mergesort"),
+                    rt.sort_values(["rt", "rid"], kind="mergesort"),
+                    left_on="t", right_on="rt", by="u",
+                    direction=direction, **kw)
+                want = pd.concat(
+                    [want, lt[lt["t"].isna()]], ignore_index=True) \
+                    .sort_values("lid").reset_index(drop=True)
+                g = got["rid"].fillna(-1).astype("int64").tolist()
+                w = want["rid"].fillna(-1).astype("int64").tolist()
+                assert g == w, (direction, tol, seed)
