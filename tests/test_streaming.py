@@ -239,3 +239,94 @@ class TestStreamingDedup:
         assert len(first) == 3  # one row per returnflag
         second = run("dd_b")  # restart from the same checkpoint
         assert len(second) == 3  # no new rows appended on replay
+
+    def test_order_col_picks_min_within_first_batch(self, spark,
+                                                    tmp_path):
+        # deterministic survivor: the minimum-order row of the first
+        # batch containing the key (groupBy shuffles drop arrival
+        # order, so order_col is the only deterministic contract)
+        import pandas as pd
+
+        from tsv_utils_spark.streaming import streaming_dedup
+
+        rows = pd.DataFrame({
+            "k": ["a"] * 5 + ["b"] * 3,
+            "ord": [5, 3, 9, 1, 7, 20, 10, 30],
+            "payload": ["p5", "p3", "p9", "p1", "p7",
+                        "q20", "q10", "q30"]})
+        df = spark.createDataFrame(rows)
+        flat = str(tmp_path / "oflat")
+        df.repartition(4).write.parquet(flat)  # one batch, many parts
+        stream = (spark.readStream.schema(df.schema).parquet(flat))
+        qy = streaming_dedup(stream, ["k"],
+                             checkpoint_dir=str(tmp_path / "ostate"),
+                             query_name="dd_ord", order_col="ord")
+        try:
+            qy.processAllAvailable()
+        finally:
+            qy.stop()
+        got = {r["k"]: r["payload"] for r in
+               spark.sql("SELECT * FROM dd_ord").collect()}
+        assert got == {"a": "p1", "b": "q10"}
+
+    def test_ttl_expiry_reemits_and_window_refresh(self, spark,
+                                                   tmp_path):
+        # TTL path: with ProcessingTimeTimeout the engine runs
+        # continuous (often empty) micro-batches to evaluate timeouts,
+        # so processAllAvailable never settles — poll the sink with a
+        # deadline instead. A key idle past the TTL is forgotten (its
+        # timeout fires on a later, possibly empty, batch) and a
+        # post-TTL duplicate re-emits.
+        import time
+
+        import pandas as pd
+
+        from tsv_utils_spark.streaming import streaming_dedup
+
+        flat = tmp_path / "tflat"
+        flat.mkdir()
+        schema = "k string, v int"
+
+        def add(rows):
+            spark.createDataFrame(pd.DataFrame(
+                rows, columns=["k", "v"]), schema) \
+                .coalesce(1).write.mode("append").parquet(str(flat))
+
+        def wait_rows(n, deadline=60.0):
+            t0 = time.time()
+            while time.time() - t0 < deadline:
+                if spark.sql("SELECT count(*) c FROM dd_ttl") \
+                        .first()["c"] >= n:
+                    return
+                time.sleep(0.3)
+            raise AssertionError(f"sink never reached {n} rows")
+
+        add([("x", 1)])
+        stream = (spark.readStream.schema(
+            spark.read.parquet(str(flat)).schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(flat)))
+        qy = streaming_dedup(stream, ["k"],
+                             checkpoint_dir=str(tmp_path / "tstate"),
+                             query_name="dd_ttl",
+                             ttl_minutes=0.001)  # 60ms
+        try:
+            wait_rows(1)                  # x emitted
+            time.sleep(1.0)               # TTL lapses; an empty batch
+            #                               fires x's timeout -> removed
+            add([("x", 3)])
+            wait_rows(2)                  # post-TTL duplicate re-emits
+        finally:
+            qy.stop()
+        got = [(r["k"], r["v"]) for r in
+               spark.sql("SELECT * FROM dd_ttl ORDER BY v").collect()]
+        assert got == [("x", 1), ("x", 3)]
+
+    def test_ttl_below_1ms_rejected_eagerly(self, spark, tmp_path):
+        from tsv_utils_spark.streaming import streaming_dedup
+
+        stream = (spark.readStream.format("rate")
+                  .option("rowsPerSecond", 1).load())
+        with pytest.raises(ValueError, match="1ms"):
+            streaming_dedup(stream, ["value"],
+                            checkpoint_dir=str(tmp_path / "zstate"),
+                            ttl_minutes=1e-9)
