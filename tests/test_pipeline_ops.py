@@ -1342,3 +1342,225 @@ class TestBoilerplateAndTokenFreq:
                ngram_contamination(train, held, "text", "doc_id",
                                    n=5).collect()}
         assert out == {3}  # empty train docs NOT flagged by empty held
+
+
+class TestC4Quality:
+    def _run(self, spark, rows):
+        from tsv_utils_spark.operators.text import c4_quality
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r["doc_id"]: r for r in c4_quality(df).collect()}
+
+    def test_rules(self, spark):
+        good = ("This is a perfectly fine first sentence to keep.\n"
+                "Here is another reasonable sentence that also ends well!\n"
+                "And one more question to round things out properly?")
+        out = self._run(spark, [
+            (0, good),
+            (1, good + "\nlorem ipsum dolor sit amet."),
+            (2, good + "\nfunction f() { return 1; }"),
+            (3, "Too few sentences survive here honestly."),
+            (4, good.replace("another reasonable sentence",
+                             "a javascript warning sentence")),
+            (5, None),
+        ])
+        assert out[0]["c4_pass"] is True
+        assert out[0]["n_lines_kept"] == 3 and out[0]["n_sentences"] == 3
+        assert out[1]["c4_pass"] is False and out[1]["has_lorem_ipsum"]
+        assert out[2]["c4_pass"] is False and out[2]["has_curly_brace"]
+        assert out[3]["c4_pass"] is False  # 1 sentence < 3
+        # javascript line dropped -> only 2 sentences survive
+        assert out[4]["n_lines_kept"] == 2 and out[4]["c4_pass"] is False
+        assert out[5]["n_lines"] == 1 and out[5]["n_lines_kept"] == 0
+        assert out[5]["clean_text"] == "" and out[5]["c4_pass"] is False
+
+    def test_line_filters(self, spark):
+        out = self._run(spark, [
+            # no terminal punctuation -> dropped
+            (0, "five words but no punctuation here"),
+            # terminal punct but only four words -> dropped
+            (1, "Only four words here."),
+            # end-quote counts as terminal punctuation
+            (2, 'He said the words "this line stays in."'),
+        ])
+        assert out[0]["n_lines_kept"] == 0
+        assert out[1]["n_lines_kept"] == 0
+        assert out[2]["n_lines_kept"] == 1
+
+    def test_single_projection_plan(self, spark):
+        # the whole operator must stay one Catalyst projection over the
+        # scan: no exchange, no Python
+        from tsv_utils_spark.operators.text import c4_quality
+
+        df = spark.createDataFrame([(0, "x.")], ["doc_id", "text"])
+        plan = c4_quality(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+
+class TestParagraphDedup:
+    def test_keep_first_across_corpus(self, spark):
+        from tsv_utils_spark.operators.dedup import (
+            remove_duplicate_paragraphs_global,
+        )
+
+        shared = "Shared license paragraph."
+        df = spark.createDataFrame([
+            (0, f"intro zero\n\n{shared}\n\ntail zero"),
+            (1, f"{shared}\n\nintro one"),
+            (2, f"intro two\n\n  {shared.upper()}  "),  # norm-equal
+            (3, "intro three"),
+        ], ["doc_id", "text"])
+        out = {r["doc_id"]: r["text"] for r in
+               remove_duplicate_paragraphs_global(df).collect()}
+        assert out[0] == f"intro zero\n\n{shared}\n\ntail zero"
+        assert out[1] == "intro one"          # shared para was seen in doc 0
+        assert out[2] == "intro two"          # case/space-insensitive match
+        assert out[3] == "intro three"
+
+    def test_first_occurrence_is_positional_within_doc(self, spark):
+        from tsv_utils_spark.operators.dedup import (
+            remove_duplicate_paragraphs_global,
+        )
+
+        df = spark.createDataFrame(
+            [(7, "dup\n\nmiddle\n\ndup")], ["doc_id", "text"])
+        out = remove_duplicate_paragraphs_global(df).collect()[0]["text"]
+        assert out == "dup\n\nmiddle"  # within-doc repeat also deduped
+
+    def test_doc_fully_deduped_survives_empty(self, spark):
+        from tsv_utils_spark.operators.dedup import (
+            remove_duplicate_paragraphs_global,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "only para"), (1, "only para")], ["doc_id", "text"])
+        out = {r["doc_id"]: r["text"] for r in
+               remove_duplicate_paragraphs_global(df).collect()}
+        assert out == {0: "only para", 1: ""}
+
+    def test_blank_separator_runs_collapse(self, spark):
+        from tsv_utils_spark.operators.dedup import (
+            remove_duplicate_paragraphs_global,
+        )
+
+        df = spark.createDataFrame([(0, "a\n\n\n\nb")], ["doc_id", "text"])
+        assert remove_duplicate_paragraphs_global(df) \
+            .collect()[0]["text"] == "a\n\nb"
+
+
+class TestUrlOps:
+    def test_normalize_rules(self, spark):
+        from tsv_utils_spark.operators.web import url_normalize
+
+        cases = [
+            (0, "https://Example.COM:443/a/b/?utm_source=x&q=1&a=2#f",
+             "https://example.com/a/b?a=2&q=1"),
+            (1, "http://example.com:80/", "http://example.com"),
+            (2, "http://example.com:8080/x/", "http://example.com:8080/x"),
+            (3, "https://example.com/a?fbclid=zz&Q=1",
+             "https://example.com/a?Q=1"),
+            (4, "not a url", None),
+            (5, None, None),
+            (6, "ftp://Files.Example.org:21/pub/",
+             "ftp://files.example.org:21/pub"),
+            (7, "https://example.com/s?utm_campaign=z&ref=tw&x=y",
+             "https://example.com/s?x=y"),
+        ]
+        df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                                   "doc_id long, url string")
+        got = {r["doc_id"]: r["c"] for r in
+               df.select("doc_id",
+                         url_normalize("url").alias("c")).collect()}
+        for i, _, want in cases:
+            assert got[i] == want, (i, got[i], want)
+
+    def test_dedup_keeps_min_id_and_all_unparseable(self, spark):
+        from tsv_utils_spark.operators.web import url_dedup
+
+        df = spark.createDataFrame([
+            (3, "https://A.com/x"),
+            (1, "https://a.com/x/"),
+            (2, "https://a.com/x#frag"),
+            (4, "junk"),
+            (5, "junk"),
+        ], "doc_id long, url string")
+        out = url_dedup(df).collect()
+        ids = sorted(r["doc_id"] for r in out)
+        assert ids == [1, 4, 5]  # one survivor (min id) + both bad rows
+
+    def test_host_stats(self, spark):
+        from tsv_utils_spark.operators.web import host_stats
+
+        df = spark.createDataFrame([
+            (1, "https://a.com/x"),
+            (2, "https://A.com/x/"),     # same canonical
+            (3, "https://a.com/y"),
+            (4, "https://b.com/"),
+            (5, "nope"),
+        ], "doc_id long, url string")
+        out = {r["host"]: r for r in host_stats(df).collect()}
+        assert set(out) == {"a.com", "b.com"}
+        assert out["a.com"]["n_pages"] == 3
+        assert out["a.com"]["n_urls"] == 2
+        assert out["a.com"]["first_id"] == 1
+        assert out["b.com"]["n_pages"] == 1
+
+    def test_normalize_is_pure_catalyst(self, spark):
+        from tsv_utils_spark.operators.web import url_normalize
+
+        df = spark.createDataFrame([(0, "https://a.com/x")],
+                                   "doc_id long, url string")
+        plan = df.select(url_normalize("url")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestSemDedup:
+    def test_planted_clones_dropped(self, spark):
+        import numpy as np
+
+        from tsv_utils_spark.operators.dedup import semdedup
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(60, 16)).astype("float32")
+        rows = [(i, base[i].tolist()) for i in range(60)]
+        rows += [(1000 + i, base[i].tolist()) for i in range(0, 60, 5)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semdedup(df, "embedding", "vec_id", threshold=0.999,
+                       n_clusters=4, sample_size=64).collect()
+        assert len(out) == 72
+        kept = {r["vec_id"] for r in out if r["keep"]}
+        assert kept == set(range(60))  # originals keep, every clone drops
+
+    def test_cluster_cap_keeps_rows(self, spark):
+        # a degenerate cluster larger than the cap must be EXCLUDED from
+        # pairing (all rows kept), not exploded into a quadratic join
+        import numpy as np
+
+        from tsv_utils_spark.operators.dedup import semdedup
+
+        rng = np.random.default_rng(3)
+        v = rng.normal(size=16).astype("float32")
+        rows = [(i, (v + 0.0001 * i).tolist()) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semdedup(df, "embedding", "vec_id", threshold=0.999,
+                       n_clusters=2, sample_size=32,
+                       max_cluster_size=10).collect()
+        assert all(r["keep"] for r in out) and len(out) == 30
+
+    def test_near_but_below_threshold_kept(self, spark):
+        import numpy as np
+
+        from tsv_utils_spark.operators.dedup import semdedup
+
+        rng = np.random.default_rng(11)
+        a = rng.normal(size=16).astype("float64")
+        b = rng.normal(size=16)
+        b = (a + 0.5 * b)  # similar-ish, far below 0.999
+        df = spark.createDataFrame(
+            [(0, a.tolist()), (1, b.tolist())],
+            "vec_id long, embedding array<double>")
+        out = semdedup(df, "embedding", "vec_id", threshold=0.999,
+                       n_clusters=1, sample_size=8)
+        assert all(r["keep"] for r in out.collect())

@@ -564,3 +564,134 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
 def _field_ddl(df: DataFrame, col: str) -> str:
     f = df.schema[col]
     return f"{f.name} {f.dataType.simpleString()}"
+
+
+def remove_duplicate_paragraphs_global(df: DataFrame, col: str = "text",
+                                       id_col: str = "doc_id") -> DataFrame:
+    """RefinedWeb-style corpus-wide paragraph dedup, keep-FIRST: every
+    paragraph (split on blank lines, normalized lower+trim) that occurs
+    more than once across the WHOLE corpus keeps only its first
+    occurrence in (id, position) order; later occurrences are dropped
+    and each document is reassembled from its surviving paragraphs in
+    original order (joined with a blank line). Complements
+    :func:`tsv_utils_spark.operators.text.remove_boilerplate_lines`,
+    which drops ALL occurrences of hot lines — here exactly one copy of
+    every paragraph survives, the semantics used for repeated content
+    that is legitimate once (quotes, licenses, reused intros).
+
+    Returns (id_col, text). Blank paragraphs always survive (they carry
+    layout, not content).
+
+    Scale shape: one narrow explode; ONE shuffle keyed by the
+    normalized paragraph (a row_number window — blank paragraphs are
+    routed AROUND it so the hot '' key never enters the shuffle); one
+    groupBy(id) to reassemble. The full text column shuffles once each
+    way; the window state per key is a single counter.
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(col), F.lit("")),
+                             "\n{2,}")).alias("__pos", "__para"))
+    tagged = paras.withColumn("__norm",
+                              F.lower(F.trim(F.col("__para"))))
+    blanks = tagged.where(F.col("__norm") == "") \
+                   .select(id_col, "__pos", "__para")
+    w = Window.partitionBy("__norm").orderBy(F.col(id_col).asc(),
+                                             F.col("__pos").asc())
+    firsts = (tagged.where(F.col("__norm") != "")
+              .withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1)
+              .select(id_col, "__pos", "__para"))
+    rebuilt = (firsts.unionByName(blanks).groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("__pos"), F.col("__para")))),
+                       lambda s: s["__para"]),
+                   "\n\n").alias(col)))
+    # keep-first can drop a doc's every paragraph; restore empty text
+    return df.select(id_col).join(rebuilt, id_col, "left") \
+        .select(id_col, F.coalesce(F.col(col), F.lit("")).alias(col))
+
+
+def semdedup(df: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", threshold: float = 0.999,
+             n_clusters: int = 64, seed: int = 42,
+             sample_size: int = 2048,
+             max_cluster_size: int | None = 10_000,
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + within-cluster cosine pruning. Complements
+    :func:`embedding_dedup` (LSH candidates): SemDeDup's published shape
+    is cluster-then-compare, which bounds candidate generation at
+    O(sum cluster_size^2) with NO hash-collision recall loss inside a
+    cluster — the trade is that near-dups split across cluster
+    boundaries are missed.
+
+    Pipeline: k-means-lite centroids (deterministic hash-ordered
+    sample + Lloyd on the driver, broadcast), one Arrow pass assigns
+    every vector to its nearest centroid, a within-cluster self-join
+    proposes pairs, exact cosine keeps pairs >= ``threshold``, and
+    connected components reduce each similarity group to ONE survivor
+    (the smallest id). ``max_cluster_size`` guards the quadratic
+    self-join against degenerate clusters (all rows of an over-large
+    cluster are kept — pass None to opt out); ``checkpoint_dir``
+    forwards to :func:`connected_components` for reliable cluster runs.
+
+    Returns (id_col, cluster, keep) for EVERY input row; keep=false
+    rows are the semantic duplicates to drop.
+    """
+    from tsv_utils_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _train_centroids,
+    )
+
+    cents = _train_centroids(df, id_col, vec_col, n_clusters, seed,
+                             sample_size)
+    bc = df.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf["__v"].to_numpy()).astype(np.float32)
+            norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = (vecs / np.maximum(norm, 1e-9)) @ bc.value.T
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(),
+                "cluster": sims.argmax(axis=1).astype(np.int32),
+            })
+
+    assigned = df.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("__v")) \
+        .mapInPandas(assign, schema="id long, cluster int") \
+        .localCheckpoint(eager=True)  # one pass; reused three times below
+    pairable = assigned
+    if max_cluster_size is not None:
+        ok = (assigned.groupBy("cluster")
+              .agg(F.count(F.lit(1)).alias("__cn"))
+              .where(F.col("__cn") <= max_cluster_size)
+              .select("cluster"))
+        pairable = assigned.join(ok, "cluster", "left_semi")
+    cand = (pairable.alias("x").join(pairable.alias("y"), "cluster")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("y.id").alias("id_b")))
+    v = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+    j = (cand.join(v.withColumnRenamed(id_col, "id_a")
+                    .withColumnRenamed("__v", "__va"), "id_a")
+             .join(v.withColumnRenamed(id_col, "id_b")
+                    .withColumnRenamed("__v", "__vb"), "id_b"))
+    cos = (_dot(F.col("__va"), F.col("__vb")) /
+           (_norm(F.col("__va")) * _norm(F.col("__vb")))).alias("score")
+    edges = j.select("id_a", "id_b", cos) \
+             .where(F.col("score") >= threshold) \
+             .select("id_a", "id_b")
+    comp = connected_components(edges, checkpoint_dir=checkpoint_dir)
+    return (assigned.join(comp.withColumnRenamed("id", "id_j"),
+                          F.col("id") == F.col("id_j"), "left")
+            .select(F.col("id").alias(id_col), F.col("cluster"),
+                    (F.col("component").isNull()
+                     | (F.col("component") == F.col("id")))
+                    .alias("keep")))

@@ -141,19 +141,17 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              .where(F.col("rank") <= k))
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             n_cells: int = 16, nprobe: int = 4, seed: int = 42,
-             sample_size: int = 2048, exclude_self: bool = True) -> DataFrame:
-    """IVF-flat: centroids from a driver-side sample (tiny, one pass of
-    Lloyd), corpus partitioned by nearest cell, queries probe ``nprobe``
-    cells. The coarse quantizer is broadcast; assignment is one Arrow pass."""
-    # Deterministic UNIFORM sample: order by a seeded hash of the id and
-    # take the top N. limit() alone would take the first partitions'
-    # rows — on a corpus clustered by source (the normal 100 TB layout)
-    # that trains centroids on one region and recall collapses silently.
-    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
-    # top-N, no full sort shuffle), so this stays cheap at scale.
+def _train_centroids(corpus: DataFrame, id_col: str, vec_col: str,
+                     n_cells: int, seed: int,
+                     sample_size: int) -> np.ndarray:
+    """K-means-lite coarse quantizer, L2-normalized centroids: a
+    deterministic UNIFORM sample + a few Lloyd steps on the driver.
+    Sampling orders by a seeded hash of the id and takes the top N —
+    limit() alone would take the first partitions' rows, and on a
+    corpus clustered by source (the normal 100 TB layout) that trains
+    centroids on one region and recall collapses silently. orderBy+
+    limit compiles to TakeOrderedAndProject (per-partition top-N, no
+    full sort shuffle), so this stays cheap at scale."""
     samp = np.stack(
         [r[0] for r in
          corpus.select(F.col(vec_col),
@@ -172,6 +170,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             if len(m):
                 v = m.mean(axis=0)
                 cents[c] = v / max(np.linalg.norm(v), 1e-9)
+    return cents
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 16, nprobe: int = 4, seed: int = 42,
+             sample_size: int = 2048, exclude_self: bool = True) -> DataFrame:
+    """IVF-flat: centroids from a driver-side sample (tiny, one pass of
+    Lloyd), corpus partitioned by nearest cell, queries probe ``nprobe``
+    cells. The coarse quantizer is broadcast; assignment is one Arrow pass."""
+    cents = _train_centroids(corpus, id_col, vec_col, n_cells, seed,
+                             sample_size)
     bc = corpus.sparkSession.sparkContext.broadcast(cents)
 
     def assign(role, n_cells_probe):

@@ -449,3 +449,62 @@ def token_frequency_stats(df: DataFrame, col: str = "text",
                    F.lit(0).cast("long")).alias("sum_token_freq"),
         F.col("mean_token_freq"),
         F.col("oov_frac"))
+
+
+def c4_quality(df: DataFrame, col: str = "text",
+               id_col: str = "doc_id",
+               min_words_per_line: int = 5,
+               min_sentences: int = 3) -> DataFrame:
+    """The published C4 cleaning rules (Raffel et al. 2020, §2.2) as ONE
+    pure-Catalyst projection — the other standard cheap pre-filter next
+    to :func:`gopher_quality`:
+
+    - keep only lines that end in terminal punctuation (``.!?"”``);
+    - keep only lines with >= ``min_words_per_line`` words;
+    - drop lines containing the word "javascript" (case-insensitive);
+    - drop pages with fewer than ``min_sentences`` sentences AFTER the
+      line filter;
+    - drop pages containing "lorem ipsum" (case-insensitive);
+    - drop pages containing a curly brace ``{``.
+
+    (C4 also applies an external bad-words list — supply it upstream as
+    a tsv-filter regex; it is a data file, not an operator.)
+
+    Returns (id, n_lines, n_lines_kept, frac_lines_kept, n_sentences,
+    has_lorem_ipsum, has_curly_brace, clean_text, c4_pass). Fractions
+    are single int/int IEEE divides (bit-identical across engines — the
+    oracle replays them in DuckDB list comprehensions).
+    """
+    c = F.coalesce(F.col(col), F.lit(""))
+    lines = F.split(c, "\n")
+
+    def line_kept(ln):
+        t = F.trim(ln)
+        return (t.rlike('[.!?"”]$')
+                & (F.size(F.split(t, "[ \t\n\f\r]+"))
+                   >= min_words_per_line)
+                & ~F.lower(ln).contains("javascript"))
+
+    kept = F.filter(lines, line_kept)
+    clean = F.array_join(kept, "\n")
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    # sentences of the CLEANED page: non-blank spans between terminal
+    # punctuation runs (C4 applies its >=3-sentence rule post-filter)
+    n_sent = F.size(F.filter(F.split(clean, "[.!?]+"),
+                             lambda s: F.trim(s) != F.lit("")))
+    lorem = F.lower(c).contains("lorem ipsum")
+    brace = c.contains("{")
+    c4_pass = (n_sent >= min_sentences) & ~lorem & ~brace
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_lines_kept"),
+        (n_kept.cast("double")
+         / F.greatest(n_lines, F.lit(1)).cast("double"))
+        .alias("frac_lines_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        lorem.alias("has_lorem_ipsum"),
+        brace.alias("has_curly_brace"),
+        clean.alias("clean_text"),
+        c4_pass.alias("c4_pass"))

@@ -1,0 +1,115 @@
+"""Web-corpus URL operators — canonicalization and URL-level dedup.
+
+URL dedup is the cheapest, highest-leverage first stage of web-crawl
+pipelines (the same page is fetched under trivially different URLs:
+case-folded hosts, default ports, fragments, tracking parameters,
+trailing slashes). Everything here is pure Catalyst string expressions —
+JVM-side, codegen'd, RE2-portable regexes (no lookbehind) so the DuckDB
+oracles replay them verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking query parameters stripped by canonicalization: the common
+# click/campaign identifiers that never change page content. Names are
+# matched exactly (after lowercasing) or by the utm_ prefix.
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "igshid", "mc_eid",
+                   "ref", "ref_src", "spm")
+
+# RFC 3986 split, RE2-portable: scheme :// authority path ?query #fragment
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_normalize(col: str | Column) -> Column:
+    """Canonical form of a URL string, as one Catalyst expression:
+
+    - scheme and host lowercased;
+    - default ports dropped (``http:80``, ``https:443``), others kept;
+    - fragment dropped;
+    - tracking query parameters dropped (``utm_*`` prefix plus
+      :data:`TRACKING_PARAMS`, name matched case-insensitively),
+      remaining parameters sorted bytewise, empty pairs dropped;
+    - a single trailing slash stripped from non-root paths; a bare
+      ``/`` root path dropped.
+
+    Rows that do not parse as ``scheme://authority...`` normalize to
+    NULL (callers filter or route them to an invalid-URL sink).
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.regexp_extract(u, _AUTH_RE, 1)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    keep_port = F.when(
+        (port == "") | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")), F.lit("")) \
+        .otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path_c = F.when(path.isin("", "/"), F.lit("")) \
+        .otherwise(F.when(path.endswith("/"),
+                          path.substr(F.lit(1), F.length(path) - 1))
+                   .otherwise(path))
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    pairs = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1))
+           .startswith("utm_")
+        & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1))
+           .isin(*TRACKING_PARAMS))
+    query_c = F.array_join(F.array_sort(pairs), "&")
+    out = F.concat(
+        scheme, F.lit("://"), host, keep_port, path_c,
+        F.when(query_c == "", F.lit(""))
+         .otherwise(F.concat(F.lit("?"), query_c)))
+    return F.when((scheme == "") | (host == ""),
+                  F.lit(None).cast("string")).otherwise(out)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup: one survivor per canonical URL — the row with
+    the smallest id (deterministic; ids are typically crawl order, so
+    this is keep-first). Rows whose URL fails to parse are all kept
+    (each is its own group).
+
+    Returns the input columns plus ``canonical_url``.
+
+    Scale shape: ONE shuffle keyed by the canonical URL (min-id
+    aggregate as a window row_number), map-side column pruning intact;
+    unparseable rows are routed around the shuffle.
+    """
+    from pyspark.sql import Window
+
+    tagged = df.withColumn("canonical_url", url_normalize(url_col))
+    bad = tagged.where(F.col("canonical_url").isNull())
+    good = tagged.where(F.col("canonical_url").isNotNull())
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
+    kept = (good.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1).drop("__rn"))
+    return kept.unionByName(bad)
+
+
+def host_stats(df: DataFrame, url_col: str = "url",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-host crawl inventory over a URL column: page count, distinct
+    canonical URLs, min id (first-seen proxy). The standard input to
+    per-domain caps and blocklists. One shuffle on host.
+
+    Returns (host, n_pages, n_urls, first_id), unparseable URLs
+    excluded.
+    """
+    canon = url_normalize(url_col)
+    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.\-]*://([^:/?#]*)", 1)
+    base = df.select(F.col(id_col), canon.alias("__c"),
+                     host.alias("host")).where(F.col("__c").isNotNull())
+    return base.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("__c").alias("n_urls"),
+        F.min(id_col).alias("first_id"))
