@@ -2743,6 +2743,90 @@ def q_url_host_stats(spark, sf_dir):
     return host_stats(_planted_urls(spark, sf_dir))
 
 
+@q("dedup_sentence_spans", r"""
+WITH docs AS (
+  SELECT doc_id, coalesce(text,'')
+   || CASE WHEN doc_id % 4 = 0 THEN '. News intro sentence number one. Second shared sentence here! Third shared sentence ends? Unique tail ' || doc_id || '.' ELSE '' END
+   || CASE WHEN doc_id % 6 = 1 THEN '. NEWS INTRO SENTENCE NUMBER ONE. SECOND SHARED SENTENCE HERE! THIRD SHARED SENTENCE ENDS? ' ELSE '' END AS text
+  FROM documents
+), a AS (
+  SELECT doc_id, coalesce(text,'') AS c,
+         regexp_extract_all(coalesce(text,''), '[^.!?]*[.!?]+[ \t\n\f\r]*|[^.!?]+$') AS arr
+  FROM docs
+), sp AS (
+  SELECT doc_id, CAST(unnest(range(len(arr) - 3 + 1)) AS INTEGER) AS start, arr
+  FROM a WHERE len(arr) >= 3
+), keyed AS (
+  SELECT doc_id, start,
+         md5(lower(trim(array_to_string(arr[CAST(start+1 AS INT):CAST(start+3 AS INT)], '')))) AS key
+  FROM sp
+), d2 AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start, key,
+           row_number() OVER (PARTITION BY key ORDER BY doc_id, start) AS rn
+    FROM keyed) WHERE rn > 1
+), rm AS (
+  SELECT DISTINCT doc_id, CAST(unnest([start, start+1, start+2]) AS INTEGER) AS sidx FROM d2
+), g AS (
+  SELECT doc_id, list(sidx) AS rml FROM rm GROUP BY doc_id
+)
+SELECT a.doc_id,
+  coalesce(array_to_string(list_filter(a.arr,
+    (x, i) -> NOT list_contains(coalesce(g.rml, []), CAST(i - 1 AS INTEGER))), ''), '') AS text
+FROM a LEFT JOIN g USING (doc_id)
+""")
+def q_dedup_sentence_spans(spark, sf_dir):
+    # C4's actual dedup unit: corpus-wide keep-first over 3-sentence
+    # spans, rebuilt byte-exactly from surviving sentence tokens; the
+    # planted shared block (lower + UPPER case-folded twin) recurs
+    # across docs at sentence boundaries, the oracle replays the same
+    # tokenize/window/index-filter pipeline in DuckDB
+    from tsv_utils_spark.operators.dedup import dedup_sentence_spans_global
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(i % 4 == 0,
+               F.concat(F.lit(". News intro sentence number one. "
+                              "Second shared sentence here! "
+                              "Third shared sentence ends? Unique tail "),
+                        i.cast("string"), F.lit(".")))
+         .otherwise(F.lit("")),
+        F.when(i % 6 == 1,
+               F.lit(". NEWS INTRO SENTENCE NUMBER ONE. "
+                     "SECOND SHARED SENTENCE HERE! "
+                     "THIRD SHARED SENTENCE ENDS? "))
+         .otherwise(F.lit("")))
+    return dedup_sentence_spans_global(
+        d.select("doc_id", planted.alias("text")))
+
+
+@q("url_domain_cap", r"""
+WITH docs AS (PLANT), c AS (
+  SELECT doc_id, url, CANON AS canonical_url FROM docs
+), t AS (
+  SELECT doc_id, url,
+         CASE WHEN canonical_url IS NULL THEN NULL
+              ELSE regexp_extract(canonical_url, '^[a-z][a-z0-9+.\-]*://([^:/?#]*)', 1)
+         END AS host
+  FROM c
+)
+SELECT doc_id, url, host FROM (
+  SELECT doc_id, url, host,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM t WHERE host IS NOT NULL) WHERE rn <= 20
+UNION ALL
+SELECT doc_id, url, host FROM t WHERE host IS NULL
+""".replace("PLANT", _URL_PLANT_SQL).replace("CANON", _URL_CANON_SQL))
+def q_url_domain_cap(spark, sf_dir):
+    # per-domain page cap (keep-earliest 20 per host, unparseable rows
+    # all kept) over the planted URL families; exact window replay
+    from tsv_utils_spark.operators.web import domain_cap
+
+    return domain_cap(_planted_urls(spark, sf_dir), 20)
+
+
 @q("semdedup_planted")  # no oracle: k-means cells are not SQL-expressible;
 # planted exact clones self-validate (every clone must drop, every
 # original must survive) — planted_all_found gates the result
@@ -2781,8 +2865,8 @@ _FRONT_OF_BOARD = [
     "events_asof_attrib", "events_error_window", "csv2tsv_multiline_par",
     "dsir_scores_det",
     # round-5 late additions (never driver-run):
-    "text_c4_quality", "dedup_paragraphs_global", "url_dedup",
-    "url_host_stats", "semdedup_planted",
+    "text_c4_quality", "dedup_paragraphs_global", "dedup_sentence_spans",
+    "url_dedup", "url_host_stats", "url_domain_cap", "semdedup_planted",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
@@ -2797,13 +2881,12 @@ _FRONT_OF_BOARD = [
     "sample_topk_det", "sample_weighted_det", "gen_random_inorder_det",
     "sample_stratified_det", "sample_token_budget", "filter_empty_blank",
     "filter_numeric_classes", "format_number", "summarize_retain",
-    "ngram_jaccard_pairs", "uniq_ignore_case",
     # (uniq_wholeline, unique_values_first_seen, filter_len,
     # sample_replacement_det stay r3-green on the back board —
     # displaced by the four round-5 additions; events_hourly,
     # events_sessions, join_append_dup, tsv_roundtrip,
-    # csv2tsv_roundtrip likewise displaced by the five late round-5
-    # additions)
+    # csv2tsv_roundtrip, ngram_jaccard_pairs, uniq_ignore_case
+    # likewise displaced by the seven late round-5 additions)
 ]
 
 

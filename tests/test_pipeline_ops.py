@@ -1564,3 +1564,74 @@ class TestSemDedup:
         out = semdedup(df, "embedding", "vec_id", threshold=0.999,
                        n_clusters=1, sample_size=8)
         assert all(r["keep"] for r in out.collect())
+
+
+class TestSentenceSpanDedup:
+    def _run(self, spark, rows, span=3):
+        from tsv_utils_spark.operators.dedup import (
+            dedup_sentence_spans_global,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r["doc_id"]: r["text"] for r in
+                dedup_sentence_spans_global(df, span=span).collect()}
+
+    def test_keep_first_span_across_docs(self, spark):
+        block = "One here. Two here! Three here? "
+        out = self._run(spark, [
+            (0, "Doc zero intro. " + block + "Doc zero tail."),
+            (1, block + "Doc one tail."),
+            (2, "Doc two intro. " + block.upper()),
+        ])
+        assert out[0] == "Doc zero intro. " + block + "Doc zero tail."
+        assert out[1] == "Doc one tail."        # span removed, tail kept
+        assert out[2] == "Doc two intro. "      # case-folded dup removed
+
+    def test_rebuild_is_byte_exact_when_no_dups(self, spark):
+        text = "Weird  spacing.   Multi\nline two! ...ellipsis? tail"
+        out = self._run(spark, [(0, text), (1, "has. only two.")])
+        assert out[0] == text    # tokens partition the text exactly
+        assert out[1] == "has. only two."   # < span sentences: untouched
+
+    def test_overlapping_dup_spans_remove_union(self, spark):
+        # four shared sentences = two overlapping dup spans in doc 1;
+        # the union of their sentences must go
+        four = "Alpha one. Beta two. Gamma three. Delta four. "
+        out = self._run(spark, [(0, four + "Zero tail."),
+                                (1, four + "One tail.")])
+        assert out[0] == four + "Zero tail."
+        assert out[1] == "One tail."
+
+    def test_within_doc_repeat_deduped(self, spark):
+        block = "Rep one. Rep two. Rep three. "
+        out = self._run(spark, [(5, block + block)])
+        assert out[5] == block
+
+    def test_null_and_empty(self, spark):
+        out = self._run(spark, [(0, None), (1, "")])
+        assert out == {0: "", 1: ""}
+
+
+class TestDomainCap:
+    def test_cap_keeps_earliest_ids(self, spark):
+        from tsv_utils_spark.operators.web import domain_cap
+
+        rows = [(i, f"https://big.com/p{i}") for i in range(10)]
+        rows += [(100, "https://small.com/x"), (101, "junk"), (102, "junk")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = domain_cap(df, 3).collect()
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r["host"], []).append(r["doc_id"])
+        assert sorted(by_host["big.com"]) == [0, 1, 2]
+        assert by_host["small.com"] == [100]
+        assert sorted(by_host[None]) == [101, 102]  # unparseable all kept
+
+    def test_cap_counts_canonical_host_not_literal(self, spark):
+        from tsv_utils_spark.operators.web import domain_cap
+
+        df = spark.createDataFrame(
+            [(1, "https://A.com/x"), (2, "https://a.com:443/y"),
+             (3, "https://a.com/z")], "doc_id long, url string")
+        out = domain_cap(df, 2).collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]

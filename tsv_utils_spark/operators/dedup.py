@@ -695,3 +695,70 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
                     (F.col("component").isNull()
                      | (F.col("component") == F.col("id")))
                     .alias("keep")))
+
+
+# sentence tokenizer for span dedup: each token is a maximal run up to
+# (and including) its terminal-punctuation run plus trailing whitespace,
+# with a final no-punctuation tail token — tokens PARTITION the text
+# (concatenating them reproduces the input byte-exactly), which is what
+# makes removal + reassembly lossless. RE2-portable (no lookbehind) so
+# the DuckDB oracle replays it verbatim.
+_SENT_PAT = r"[^.!?]*[.!?]+[ \t\n\f\r]*|[^.!?]+$"
+
+
+def dedup_sentence_spans_global(df: DataFrame, col: str = "text",
+                                id_col: str = "doc_id",
+                                span: int = 3) -> DataFrame:
+    """C4's actual dedup unit (Raffel et al. 2020 §2.2: "we discarded
+    all but one of any three-sentence span occurring more than once"):
+    corpus-wide keep-FIRST over runs of ``span`` consecutive sentences.
+    The first occurrence (in (id, position) order) of each normalized
+    span survives; every later occurrence has ALL its sentences
+    removed (a sentence is removed if ANY duplicate span covers it);
+    documents are rebuilt from the surviving sentence tokens
+    byte-exactly — tokens carry their own punctuation and trailing
+    whitespace and partition the original text, so reassembly is plain
+    concatenation.
+
+    Returns (id_col, text).
+
+    Scale shape: ONE scan of the text column; spans explode to
+    ~n_sentences rows carrying only (id, start, 64-char key); ONE
+    shuffle keyed by the span key (row_number window); the removal set
+    (id, sentence-index) is tiny (only duplicated spans) and collapses
+    to one array per affected doc, joined back and applied as an
+    index-filter inside a projection — the text column itself never
+    shuffles.
+    """
+    c = F.coalesce(F.col(col), F.lit(""))
+    arr = F.regexp_extract_all(c, F.lit(_SENT_PAT), F.lit(0))
+    empty = F.array().cast("array<struct<start:int,key:string>>")
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(arr) >= span, F.transform(
+                F.sequence(F.lit(0), F.size(arr) - span),
+                lambda i: F.struct(
+                    i.cast("int").alias("start"),
+                    F.md5(F.lower(F.trim(F.array_join(
+                        F.slice(arr, i + 1, span), "")))).alias("key"))))
+             .otherwise(empty)).alias("__sp")) \
+        .select(id_col, F.col("__sp.start").alias("__start"),
+                F.col("__sp.key").alias("__key"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__key").orderBy(F.col(id_col).asc(),
+                                            F.col("__start").asc())
+    dups = spans.withColumn("__rn", F.row_number().over(w)) \
+                .where(F.col("__rn") > 1)
+    removal = dups.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("__start"),
+                             F.col("__start") + (span - 1))).alias("__sidx"))
+    rm = removal.groupBy(id_col).agg(
+        F.collect_set("__sidx").alias("__rm"))
+    kept = F.filter(arr, lambda x, i: ~F.array_contains(
+        F.coalesce(F.col("__rm"),
+                   F.array().cast("array<int>")), i.cast("int")))
+    return df.join(rm, id_col, "left").select(
+        F.col(id_col), F.array_join(kept, "").alias(col))

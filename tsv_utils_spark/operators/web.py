@@ -113,3 +113,29 @@ def host_stats(df: DataFrame, url_col: str = "url",
         F.count(F.lit(1)).alias("n_pages"),
         F.countDistinct("__c").alias("n_urls"),
         F.min(id_col).alias("first_id"))
+
+
+def domain_cap(df: DataFrame, max_per_host: int, url_col: str = "url",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-domain page cap: keep at most ``max_per_host`` rows per host
+    (by ascending id — crawl order, so keep-earliest), the standard
+    guard against a handful of giant hosts dominating a web corpus.
+    Unparseable URLs are all kept (no host to cap on).
+
+    Returns the input columns plus ``host`` (NULL for unparseable
+    rows). ONE shuffle keyed by host; a per-host row_number is the
+    whole state.
+    """
+    from pyspark.sql import Window
+
+    canon = url_normalize(url_col)
+    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.\-]*://([^:/?#]*)", 1)
+    tagged = df.withColumn(
+        "host", F.when(canon.isNull(), F.lit(None).cast("string"))
+                 .otherwise(host))
+    bad = tagged.where(F.col("host").isNull())
+    w = Window.partitionBy("host").orderBy(F.col(id_col).asc())
+    kept = (tagged.where(F.col("host").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_per_host).drop("__rn"))
+    return kept.unionByName(bad)
