@@ -77,7 +77,8 @@ class TestDriverBoardRotation:
         selfval = {"kll_quantiles", "tdigest_quantiles", "minhash_near_dup",
                    "simhash_near_dup", "ann_lsh", "ann_ivf",
                    "embedding_near_dup", "code_kll_sizes",
-                   "text_compression", "decontaminate_near"}
+                   "text_compression", "decontaminate_near",
+                   "semdedup_planted"}
         no_oracle = set(entrymod.queries()) - set(entrymod.oracle_sql())
         assert no_oracle == selfval, (
             f"queries without oracle or self-val classification: "
