@@ -2827,6 +2827,70 @@ def q_url_domain_cap(spark, sf_dir):
     return domain_cap(_planted_urls(spark, sf_dir), 20)
 
 
+@q("text_chunk_documents", r"""
+WITH base AS (
+  SELECT doc_id, trim(coalesce(text,'')) AS t FROM documents
+), a AS (
+  SELECT doc_id,
+    CASE WHEN length(t)=0 THEN [] ELSE regexp_split_to_array(t, '[ \t\n\f\r]+') END AS toks
+  FROM base
+), m AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    CASE WHEN len(toks)=0 THEN 0
+         ELSE 1 + CAST(floor((greatest(len(toks) - 24, 0) + 15) / 16) AS INTEGER) END AS n_chunks
+  FROM a
+), e AS (
+  SELECT doc_id, toks, CAST(unnest(range(n_chunks)) AS INTEGER) AS chunk_idx FROM m
+)
+SELECT doc_id, chunk_idx,
+  CAST(len(toks[CAST(chunk_idx*16+1 AS INT):CAST(chunk_idx*16+24 AS INT)]) AS INTEGER) AS n_chunk_tokens,
+  array_to_string(toks[CAST(chunk_idx*16+1 AS INT):CAST(chunk_idx*16+24 AS INT)], ' ') AS chunk_text
+FROM e
+""")
+def q_text_chunk_documents(spark, sf_dir):
+    # context-window chunking (max 24 tokens, overlap 8 -> stride 16):
+    # overlapping windows per doc, last chunk reaches the final token;
+    # pure projection+explode, zero shuffle — the oracle replays the
+    # same start arithmetic and list slices in DuckDB
+    from tsv_utils_spark.operators.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           max_tokens=24, overlap=8)
+
+
+@q("jsonl_roundtrip", r"""
+SELECT doc_id,
+  CASE WHEN doc_id % 5 = 1 THEN 'tab' || chr(9) || 'here "quoted" back\slash'
+       WHEN doc_id % 5 = 2 THEN 'newline' || chr(10) || 'unicode é中😀'
+       WHEN doc_id % 5 = 3 THEN NULL
+       WHEN doc_id % 5 = 4 THEN ''
+       ELSE coalesce(text, '') END AS text,
+  lang
+FROM documents
+""")
+def q_jsonl_roundtrip(spark, sf_dir):
+    # JSONL source/sink roundtrip (web-corpus interchange format):
+    # planted control characters, quotes, unicode, explicit NULL and
+    # empty-string rows survive write_jsonl -> read_jsonl byte-exactly
+    # (nulls KEPT as explicit null fields — the lossless default); the
+    # oracle predicts the planted values straight from parquet
+    from tsv_utils_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/jsonl_roundtrip_{tag}"
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    text2 = (F.when(i % 5 == 1,
+                    F.lit('tab\there "quoted" back\\slash'))
+              .when(i % 5 == 2, F.lit("newline\nunicode é中😀"))
+              .when(i % 5 == 3, F.lit(None).cast("string"))
+              .when(i % 5 == 4, F.lit(""))
+              .otherwise(F.coalesce(F.col("text"), F.lit(""))))
+    out = d.select("doc_id", text2.alias("text"), "lang")
+    write_jsonl(out, path)
+    return read_jsonl(spark, path, schema=out.schema)
+
+
 @q("semdedup_planted")  # no oracle: k-means cells are not SQL-expressible;
 # planted exact clones self-validate (every clone must drop, every
 # original must survive) — planted_all_found gates the result
@@ -2867,20 +2931,22 @@ _FRONT_OF_BOARD = [
     # round-5 late additions (never driver-run):
     "text_c4_quality", "dedup_paragraphs_global", "dedup_sentence_spans",
     "url_dedup", "url_host_stats", "url_domain_cap", "semdedup_planted",
+    "jsonl_roundtrip", "text_chunk_documents",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
     # r2-dated:
     "split_bucket_det", "select_project", "append_union", "number_lines",
     "values_ordered", "hll_unique_count", "cm_mode",
-    # r3-dated:
+    # r3-dated (summarize_retain, format_number displaced by
+    # jsonl_roundtrip, text_chunk_documents):
     "filter_field_vs_field", "filter_string_ops", "join_semi", "join_anti",
     "join_append", "join_write_all", "join_bloom_semi", "join_bloom_anti",
     "join_salted", "uniq_first", "uniq_equiv", "uniq_number",
     "uniq_repeated", "sample_bernoulli_det", "sample_distinct_det",
     "sample_topk_det", "sample_weighted_det", "gen_random_inorder_det",
     "sample_stratified_det", "sample_token_budget", "filter_empty_blank",
-    "filter_numeric_classes", "format_number", "summarize_retain",
+    "filter_numeric_classes",
     # (uniq_wholeline, unique_values_first_seen, filter_len,
     # sample_replacement_det stay r3-green on the back board —
     # displaced by the four round-5 additions; events_hourly,

@@ -1635,3 +1635,59 @@ class TestDomainCap:
              (3, "https://a.com/z")], "doc_id long, url string")
         out = domain_cap(df, 2).collect()
         assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, text, max_tokens=8, overlap=2):
+        from tsv_utils_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        return chunk_documents(df, max_tokens=max_tokens,
+                               overlap=overlap) \
+            .orderBy("chunk_idx").collect()
+
+    def test_overlap_and_tail_coverage(self, spark):
+        toks = [f"w{i}" for i in range(20)]
+        out = self._chunks(spark, " ".join(toks), max_tokens=8, overlap=2)
+        # stride 6: starts 0,6,12 -> 3 chunks; last reaches token 19
+        assert [r["chunk_idx"] for r in out] == [0, 1, 2]
+        assert out[0]["chunk_text"].split() == toks[0:8]
+        assert out[1]["chunk_text"].split() == toks[6:14]
+        assert out[2]["chunk_text"].split() == toks[12:20]
+        assert out[2]["n_chunk_tokens"] == 8
+
+    def test_short_doc_one_chunk(self, spark):
+        out = self._chunks(spark, "a b c", max_tokens=8, overlap=2)
+        assert len(out) == 1 and out[0]["chunk_text"] == "a b c"
+        assert out[0]["n_chunk_tokens"] == 3
+
+    def test_exact_boundary_no_empty_tail_chunk(self, spark):
+        # n == max_tokens must give exactly ONE chunk (no degenerate
+        # overlap-only tail)
+        out = self._chunks(spark, " ".join("x" * 1 for _ in range(8)),
+                           max_tokens=8, overlap=2)
+        assert len(out) == 1
+
+    def test_empty_and_null_produce_no_chunks(self, spark):
+        from tsv_utils_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(0, ""), (1, None), (2, "  ")],
+                                   ["doc_id", "text"])
+        assert chunk_documents(df).count() == 0
+
+    def test_no_shuffle_in_plan(self, spark):
+        from tsv_utils_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+        plan = chunk_documents(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+    def test_invalid_overlap_raises(self, spark):
+        import pytest as _pytest
+
+        from tsv_utils_spark.operators.text import chunk_documents
+
+        df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            chunk_documents(df, max_tokens=8, overlap=8)

@@ -386,3 +386,62 @@ class TestParallelMultilineCsv:
                for r in read_csv_multiline_parallel(
                    spark, p, header=True, block_bytes=8).collect()}
         assert out == {"1": "a\nb", "2": "last"}
+
+
+class TestJsonl:
+    def test_roundtrip_preserves_escapes_and_nulls(self, spark, tmp_path):
+        from tsv_utils_spark.sources.jsonl import read_jsonl, write_jsonl
+
+        rows = [
+            (0, 'tab\there "quoted" back\\slash', "en"),
+            (1, "newline\nand unicode é中😀", "de"),
+            (2, None, "fr"),            # explicit null text must survive
+            (3, "", "es"),              # empty string stays distinct from null
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        p = str(tmp_path / "docs_jsonl")
+        write_jsonl(df, p)
+        back = read_jsonl(spark, p, schema=df.schema)
+        got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+        for i, t, lang in rows:
+            assert got[i] == (t, lang)
+
+    def test_null_fields_kept_by_default_dropped_on_optin(self, spark,
+                                                          tmp_path):
+        import glob
+
+        from tsv_utils_spark.sources.jsonl import write_jsonl
+
+        df = spark.createDataFrame([(1, None)], "a long, b string") \
+            .coalesce(1)
+        p1, p2 = str(tmp_path / "keep"), str(tmp_path / "drop")
+        write_jsonl(df, p1)
+        write_jsonl(df, p2, ignore_null_fields=True)
+        read = lambda p: open(glob.glob(p + "/part-*.json")[0]).read()  # noqa: E731
+        assert '"b":null' in read(p1)
+        assert '"b"' not in read(p2)
+
+    def test_malformed_policy(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from tsv_utils_spark.sources.jsonl import read_jsonl
+
+        p = tmp_path / "bad"
+        p.mkdir()
+        (p / "a.jsonl").write_text(
+            '{"doc_id": 1, "text": "ok"}\n'
+            'this is not json\n'
+            '{"doc_id": 2, "text": "also ok"}\n')
+        schema = StructType([StructField("doc_id", LongType()),
+                             StructField("text", StringType())])
+        kept = read_jsonl(spark, str(p), schema=schema,
+                          mode="DROPMALFORMED")
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+        cap = read_jsonl(spark, str(p), schema=schema, corrupt_col="_bad")
+        bad = [r for r in cap.collect() if r["_bad"] is not None]
+        assert len(bad) == 1 and bad[0]["_bad"] == "this is not json"

@@ -508,3 +508,48 @@ def c4_quality(df: DataFrame, col: str = "text",
         brace.alias("has_curly_brace"),
         clean.alias("clean_text"),
         c4_pass.alias("c4_pass"))
+
+
+def chunk_documents(df: DataFrame, col: str = "text",
+                    id_col: str = "doc_id", max_tokens: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Context-window chunking: split each document's whitespace tokens
+    into overlapping windows of ``max_tokens`` with ``overlap`` tokens
+    carried between consecutive chunks (stride = max_tokens - overlap)
+    — the standard prep for embedding or LM training over long
+    documents. Chunk starts are 0, stride, 2*stride, ...; the number of
+    chunks is 1 + ceil(max(n_tokens - max_tokens, 0) / stride), so the
+    last chunk always reaches the final token and no start lies beyond
+    the text. Empty/blank documents produce zero chunks.
+
+    Returns (id_col, chunk_idx, n_chunk_tokens, chunk_text) — one pure
+    Catalyst projection + explode; no shuffle at all (chunking
+    parallelizes with the scan).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got "
+                         f"overlap={overlap} max_tokens={max_tokens}")
+    stride = max_tokens - overlap
+    t = F.trim(F.coalesce(F.col(col), F.lit("")))
+    toks = F.split(t, "[ \t\n\f\r]+")
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        (F.lit(1) + F.floor((F.greatest(n - max_tokens, F.lit(0))
+                             + F.lit(stride - 1))
+                            / F.lit(stride))).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("idx"),
+            F.slice(toks, i * stride + 1, max_tokens).alias("__t")))
+    base = df.select(
+        F.col(id_col),
+        F.explode(F.when(n_chunks > 0, chunks)
+                   .otherwise(F.array().cast(
+                       "array<struct<idx:int,__t:array<string>>>")))
+         .alias("__c"))
+    return base.select(
+        F.col(id_col),
+        F.col("__c.idx").alias("chunk_idx"),
+        F.size("__c.__t").alias("n_chunk_tokens"),
+        F.array_join("__c.__t", " ").alias("chunk_text"))
