@@ -2546,12 +2546,12 @@ SELECT doc_id,
   CAST(len(kept) AS INTEGER) AS n_lines_kept,
   CAST(len(kept) AS DOUBLE) / greatest(len(lines), 1) AS frac_lines_kept,
   CAST(len(list_filter(regexp_split_to_array(clean, '[.!?]+'),
-       x -> trim(x) != '')) AS INTEGER) AS n_sentences,
+       x -> regexp_matches(x, '[\p{L}\p{N}]'))) AS INTEGER) AS n_sentences,
   contains(lower(c), 'lorem ipsum') AS has_lorem_ipsum,
   contains(c, '{') AS has_curly_brace,
   clean AS clean_text,
   (len(list_filter(regexp_split_to_array(clean, '[.!?]+'),
-       x -> trim(x) != '')) >= 3
+       x -> regexp_matches(x, '[\p{L}\p{N}]'))) >= 3
    AND NOT contains(lower(c), 'lorem ipsum')
    AND NOT contains(c, '{')) AS c4_pass
 FROM s
@@ -2636,28 +2636,28 @@ def q_dedup_paragraphs_global(spark, sf_dir):
 # DuckDB replay of operators/web.url_normalize (same RE2 regexes)
 _URL_CANON_SQL = r"""
   CASE WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) = ''
-         OR lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), '^([^:]*)', 1)) = ''
+         OR lower(regexp_extract(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), '([^@]*)$', 1), '^([^:]*)', 1)) = ''
   THEN NULL ELSE
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) || '://' ||
-    lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), '^([^:]*)', 1)) ||
-    CASE WHEN regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) = ''
+    lower(regexp_extract(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), '([^@]*)$', 1), '^([^:]*)', 1)) ||
+    CASE WHEN regexp_extract(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), '([^@]*)$', 1), ':([0-9]+)$', 1) = ''
            OR (lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) = 'http'
-               AND regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) = '80')
+               AND regexp_extract(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), '([^@]*)$', 1), ':([0-9]+)$', 1) = '80')
            OR (lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) = 'https'
-               AND regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) = '443')
-    THEN '' ELSE ':' || regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), ':([0-9]+)$', 1) END ||
+               AND regexp_extract(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), '([^@]*)$', 1), ':([0-9]+)$', 1) = '443')
+    THEN '' ELSE ':' || regexp_extract(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1), '([^@]*)$', 1), ':([0-9]+)$', 1) END ||
     CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) IN ('', '/') THEN ''
          WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) LIKE '%/'
          THEN substr(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), 1,
                      length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)) - 1)
          ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) END ||
     CASE WHEN coalesce(array_to_string(list_sort(list_filter(
-            string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+            string_split(regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\?(.*)$', 1), '&'),
             p -> p != '' AND NOT starts_with(lower(regexp_extract(p, '^([^=]*)', 1)), 'utm_')
                  AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN
                      ('fbclid','gclid','msclkid','igshid','mc_eid','ref','ref_src','spm'))), '&'), '') = ''
     THEN '' ELSE '?' || array_to_string(list_sort(list_filter(
-            string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+            string_split(regexp_extract(regexp_extract(url, '^([^#]*)', 1), '\?(.*)$', 1), '&'),
             p -> p != '' AND NOT starts_with(lower(regexp_extract(p, '^([^=]*)', 1)), 'utm_')
                  AND lower(regexp_extract(p, '^([^=]*)', 1)) NOT IN
                      ('fbclid','gclid','msclkid','igshid','mc_eid','ref','ref_src','spm'))), '&') END
@@ -2829,7 +2829,7 @@ def q_url_domain_cap(spark, sf_dir):
 
 @q("text_chunk_documents", r"""
 WITH base AS (
-  SELECT doc_id, trim(coalesce(text,'')) AS t FROM documents
+  SELECT doc_id, regexp_replace(coalesce(text,''), '^[ \t\n\f\r]+|[ \t\n\f\r]+$', '', 'g') AS t FROM documents
 ), a AS (
   SELECT doc_id,
     CASE WHEN length(t)=0 THEN [] ELSE regexp_split_to_array(t, '[ \t\n\f\r]+') END AS toks

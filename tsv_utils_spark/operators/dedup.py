@@ -730,6 +730,8 @@ def dedup_sentence_spans_global(df: DataFrame, col: str = "text",
     index-filter inside a projection — the text column itself never
     shuffles.
     """
+    if span < 1:
+        raise ValueError(f"need span >= 1, got {span}")
     c = F.coalesce(F.col(col), F.lit(""))
     arr = F.regexp_extract_all(c, F.lit(_SENT_PAT), F.lit(0))
     empty = F.array().cast("array<struct<start:int,key:string>>")

@@ -489,10 +489,13 @@ def c4_quality(df: DataFrame, col: str = "text",
     clean = F.array_join(kept, "\n")
     n_lines = F.size(lines)
     n_kept = F.size(kept)
-    # sentences of the CLEANED page: non-blank spans between terminal
-    # punctuation runs (C4 applies its >=3-sentence rule post-filter)
+    # sentences of the CLEANED page: spans between terminal-punctuation
+    # runs that carry at least one letter/digit (C4 applies its
+    # >=3-sentence rule post-filter). Requiring \p{L}/\p{N} — not just
+    # non-blank — keeps a closing quote after terminal punctuation
+    # ('."') from counting as an extra sentence
     n_sent = F.size(F.filter(F.split(clean, "[.!?]+"),
-                             lambda s: F.trim(s) != F.lit("")))
+                             lambda s: s.rlike(r"[\p{L}\p{N}]")))
     lorem = F.lower(c).contains("lorem ipsum")
     brace = c.contains("{")
     c4_pass = (n_sent >= min_sentences) & ~lorem & ~brace
@@ -530,7 +533,12 @@ def chunk_documents(df: DataFrame, col: str = "text",
         raise ValueError(f"need 0 <= overlap < max_tokens, got "
                          f"overlap={overlap} max_tokens={max_tokens}")
     stride = max_tokens - overlap
-    t = F.trim(F.coalesce(F.col(col), F.lit("")))
+    # trim over the FULL whitespace class (F.trim strips only spaces:
+    # a '\n'-only doc would otherwise yield a phantom ['',''] chunk,
+    # and leading/trailing tabs/newlines would add empty tokens that
+    # shift every chunk boundary)
+    t = F.regexp_replace(F.coalesce(F.col(col), F.lit("")),
+                         r"^[ \t\n\f\r]+|[ \t\n\f\r]+$", "")
     toks = F.split(t, "[ \t\n\f\r]+")
     n = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
     n_chunks = F.when(n == 0, F.lit(0)).otherwise(

@@ -23,15 +23,27 @@ TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "igshid", "mc_eid",
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+_PREFRAG_RE = r"^([^#]*)"     # query must come from the PRE-fragment part:
+_QUERY_RE = r"\?(.*)$"        # a '?' inside '#...' is fragment, not query
+_USERINFO_STRIP_RE = r"([^@]*)$"   # authority after the last '@' (userinfo)
+# host of an already-canonical URL (shared by host_stats / domain_cap and
+# mirrored in the DuckDB oracles — keep all three in sync)
+_HOST_FROM_CANON_RE = r"^[a-z][a-z0-9+.\-]*://([^:/?#]*)"
+
+
+def host_from_canonical(canon: Column) -> Column:
+    """Host component of a :func:`url_normalize` output."""
+    return F.regexp_extract(canon, _HOST_FROM_CANON_RE, 1)
 
 
 def url_normalize(col: str | Column) -> Column:
     """Canonical form of a URL string, as one Catalyst expression:
 
     - scheme and host lowercased;
+    - userinfo (``user:pass@``) dropped — not page identity;
     - default ports dropped (``http:80``, ``https:443``), others kept;
-    - fragment dropped;
+    - fragment dropped (including any ``?`` inside it — the query is
+      parsed only from the pre-fragment part);
     - tracking query parameters dropped (``utm_*`` prefix plus
       :data:`TRACKING_PARAMS`, name matched case-insensitively),
       remaining parameters sorted bytewise, empty pairs dropped;
@@ -43,7 +55,11 @@ def url_normalize(col: str | Column) -> Column:
     """
     u = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    auth = F.regexp_extract(u, _AUTH_RE, 1)
+    # userinfo ('user:pass@') is dropped: it is not page identity, and
+    # naively splitting the authority on ':' would otherwise read
+    # 'user' as the host
+    auth = F.regexp_extract(F.regexp_extract(u, _AUTH_RE, 1),
+                            _USERINFO_STRIP_RE, 1)
     host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
     port = F.regexp_extract(auth, r":([0-9]+)$", 1)
     keep_port = F.when(
@@ -55,7 +71,8 @@ def url_normalize(col: str | Column) -> Column:
         .otherwise(F.when(path.endswith("/"),
                           path.substr(F.lit(1), F.length(path) - 1))
                    .otherwise(path))
-    query = F.regexp_extract(u, _QUERY_RE, 1)
+    query = F.regexp_extract(F.regexp_extract(u, _PREFRAG_RE, 1),
+                             _QUERY_RE, 1)
     pairs = F.filter(
         F.split(query, "&"),
         lambda p: (p != "")
@@ -106,9 +123,9 @@ def host_stats(df: DataFrame, url_col: str = "url",
     excluded.
     """
     canon = url_normalize(url_col)
-    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.\-]*://([^:/?#]*)", 1)
     base = df.select(F.col(id_col), canon.alias("__c"),
-                     host.alias("host")).where(F.col("__c").isNotNull())
+                     host_from_canonical(canon).alias("host")) \
+        .where(F.col("__c").isNotNull())
     return base.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.countDistinct("__c").alias("n_urls"),
@@ -129,10 +146,9 @@ def domain_cap(df: DataFrame, max_per_host: int, url_col: str = "url",
     from pyspark.sql import Window
 
     canon = url_normalize(url_col)
-    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.\-]*://([^:/?#]*)", 1)
     tagged = df.withColumn(
         "host", F.when(canon.isNull(), F.lit(None).cast("string"))
-                 .otherwise(host))
+                 .otherwise(host_from_canonical(canon)))
     bad = tagged.where(F.col("host").isNull())
     w = Window.partitionBy("host").orderBy(F.col(id_col).asc())
     kept = (tagged.where(F.col("host").isNotNull())
