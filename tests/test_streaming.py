@@ -330,3 +330,48 @@ class TestStreamingDedup:
             streaming_dedup(stream, ["value"],
                             checkpoint_dir=str(tmp_path / "zstate"),
                             ttl_minutes=1e-9)
+
+
+class TestStreamingUrlDedup:
+    def test_canonical_url_dedup_composes_in_stream(self, spark,
+                                                    tmp_path):
+        # web.url_normalize is pure Catalyst, so streaming URL dedup is
+        # just the canonical column + streaming_dedup keyed on it —
+        # trivially different fetches of the same page collapse to one
+        # emission even when they arrive in DIFFERENT micro-batches
+        from tsv_utils_spark.operators.web import url_normalize
+        from tsv_utils_spark.streaming import streaming_dedup
+
+        rows = [
+            (0, "https://A.com/x?utm_source=z"),
+            (1, "https://a.com/x/"),
+            (2, "https://a.com/x#frag"),
+            (3, "https://b.com/y"),
+            (4, "https://b.com/y?gclid=1"),
+            (5, "https://c.com/z"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        flat = str(tmp_path / "uflat")
+        df.repartition(3).write.parquet(flat)   # keys split over batches
+        stream = (spark.readStream.schema(df.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(flat)
+                  .withColumn("canonical_url", url_normalize("url"))
+                  .where(F.col("canonical_url").isNotNull()))
+        qy = streaming_dedup(stream, ["canonical_url"],
+                             checkpoint_dir=str(tmp_path / "ustate"),
+                             query_name="url_dd", order_col="doc_id")
+        try:
+            qy.processAllAvailable()
+        finally:
+            qy.stop()
+        got = spark.sql("SELECT * FROM url_dd").toPandas()
+        assert sorted(got["canonical_url"]) == [
+            "https://a.com/x", "https://b.com/y", "https://c.com/z"]
+        # order_col contract: the min-id fetch of each page survives
+        # when duplicates share a micro-batch (cross-batch arrival order
+        # depends on file order, which repartition randomizes — only
+        # assert the per-key survivor is one of that key's ids)
+        by_url = {r["canonical_url"]: r["doc_id"] for _, r in got.iterrows()}
+        assert by_url["https://a.com/x"] in {0, 1, 2}
+        assert by_url["https://b.com/y"] in {3, 4}
+        assert by_url["https://c.com/z"] == 5

@@ -583,13 +583,13 @@ def remove_duplicate_paragraphs_global(df: DataFrame, col: str = "text",
     layout, not content).
 
     Scale shape: one narrow explode; ONE shuffle keyed by the
-    normalized paragraph (a row_number window — blank paragraphs are
-    routed AROUND it so the hot '' key never enters the shuffle); one
-    groupBy(id) to reassemble. The full text column shuffles once each
-    way; the window state per key is a single counter.
+    normalized paragraph, as a min-struct AGGREGATE — partial
+    (map-side) combine reduces a hot paragraph (boilerplate repeated
+    in millions of docs) to one row per map task before the shuffle,
+    where a row_number window would funnel every occurrence into a
+    single partition AQE cannot split. Blank paragraphs are routed
+    around the shuffle entirely. One groupBy(id) reassembles.
     """
-    from pyspark.sql import Window
-
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.coalesce(F.col(col), F.lit("")),
@@ -598,12 +598,15 @@ def remove_duplicate_paragraphs_global(df: DataFrame, col: str = "text",
                               F.lower(F.trim(F.col("__para"))))
     blanks = tagged.where(F.col("__norm") == "") \
                    .select(id_col, "__pos", "__para")
-    w = Window.partitionBy("__norm").orderBy(F.col(id_col).asc(),
-                                             F.col("__pos").asc())
+    # (id, pos) is unique, so min over struct(id, pos, para) picks the
+    # first occurrence deterministically and carries its original text
     firsts = (tagged.where(F.col("__norm") != "")
-              .withColumn("__rn", F.row_number().over(w))
-              .where(F.col("__rn") == 1)
-              .select(id_col, "__pos", "__para"))
+              .groupBy("__norm")
+              .agg(F.min(F.struct(F.col(id_col), F.col("__pos"),
+                                  F.col("__para"))).alias("__f"))
+              .select(F.col(f"__f.{id_col}").alias(id_col),
+                      F.col("__f.__pos").alias("__pos"),
+                      F.col("__f.__para").alias("__para")))
     rebuilt = (firsts.unionByName(blanks).groupBy(id_col)
                .agg(F.array_join(
                    F.transform(
@@ -723,12 +726,16 @@ def dedup_sentence_spans_global(df: DataFrame, col: str = "text",
     Returns (id_col, text).
 
     Scale shape: ONE scan of the text column; spans explode to
-    ~n_sentences rows carrying only (id, start, 64-char key); ONE
-    shuffle keyed by the span key (row_number window); the removal set
-    (id, sentence-index) is tiny (only duplicated spans) and collapses
-    to one array per affected doc, joined back and applied as an
-    index-filter inside a projection — the text column itself never
-    shuffles.
+    ~n_sentences rows carrying only (id, start, md5 key). The first
+    occurrence per key is a min-struct AGGREGATE (partial map-side
+    combine — a boilerplate span repeated in millions of docs reduces
+    per map task before the shuffle; a row_number window would funnel
+    every occurrence into one partition AQE cannot split). Non-first
+    occurrences come from re-joining spans to the firsts on the key —
+    a shuffle join AQE's skewed-join splitting DOES handle. The
+    removal set (id, sentence-index) is tiny (only duplicated spans),
+    collapses to one array per affected doc, and is applied as an
+    index-filter projection — the text column itself never shuffles.
     """
     if span < 1:
         raise ValueError(f"need span >= 1, got {span}")
@@ -747,12 +754,11 @@ def dedup_sentence_spans_global(df: DataFrame, col: str = "text",
              .otherwise(empty)).alias("__sp")) \
         .select(id_col, F.col("__sp.start").alias("__start"),
                 F.col("__sp.key").alias("__key"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__key").orderBy(F.col(id_col).asc(),
-                                            F.col("__start").asc())
-    dups = spans.withColumn("__rn", F.row_number().over(w)) \
-                .where(F.col("__rn") > 1)
+    firsts = spans.groupBy("__key").agg(
+        F.min(F.struct(F.col(id_col), F.col("__start"))).alias("__f"))
+    dups = (spans.join(firsts, "__key")
+            .where((F.col(id_col) != F.col(f"__f.{id_col}"))
+                   | (F.col("__start") != F.col("__f.__start"))))
     removal = dups.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("__start"),

@@ -98,18 +98,25 @@ def url_dedup(df: DataFrame, url_col: str = "url",
 
     Returns the input columns plus ``canonical_url``.
 
-    Scale shape: ONE shuffle keyed by the canonical URL (min-id
-    aggregate as a window row_number), map-side column pruning intact;
-    unparseable rows are routed around the shuffle.
+    Scale shape: ONE shuffle keyed by the canonical URL, as a
+    ``min_by`` AGGREGATE rather than a row_number window — partial
+    (map-side) aggregation makes a hot URL (the same page fetched
+    millions of times) combine before the shuffle, where a window
+    would funnel every duplicate into one partition that AQE cannot
+    split (skewed-partition splitting applies to joins/aggregations,
+    not windows). Unparseable rows are routed around the shuffle.
     """
-    from pyspark.sql import Window
-
     tagged = df.withColumn("canonical_url", url_normalize(url_col))
     bad = tagged.where(F.col("canonical_url").isNull())
     good = tagged.where(F.col("canonical_url").isNotNull())
-    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
-    kept = (good.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1).drop("__rn"))
+    cols = tagged.columns
+    kept = (good.groupBy("canonical_url")
+            .agg(F.min_by(F.struct(*[c for c in cols
+                                     if c != "canonical_url"]),
+                          F.col(id_col)).alias("__row"))
+            .select(*[F.col(f"__row.{c}") for c in cols
+                      if c != "canonical_url"], "canonical_url")
+            .select(*cols))
     return kept.unionByName(bad)
 
 
@@ -140,8 +147,17 @@ def domain_cap(df: DataFrame, max_per_host: int, url_col: str = "url",
     Unparseable URLs are all kept (no host to cap on).
 
     Returns the input columns plus ``host`` (NULL for unparseable
-    rows). ONE shuffle keyed by host; a per-host row_number is the
-    whole state.
+    rows).
+
+    Scale shape: TWO-PHASE top-N. A single per-host row_number window
+    would funnel a giant host's every row into one partition — the
+    exact pathology the cap exists to guard against, and AQE cannot
+    split skewed window partitions. Phase 1 takes a top-N per
+    (host, input-partition-id): its shuffle key includes the partition
+    id, so a giant host's rows spread UNIFORMLY over the cluster and
+    each group is bounded by the input partition size. Phase 2 runs
+    the global per-host window over at most N x num_input_partitions
+    surviving rows per host — bounded regardless of host size.
     """
     from pyspark.sql import Window
 
@@ -150,8 +166,13 @@ def domain_cap(df: DataFrame, max_per_host: int, url_col: str = "url",
         "host", F.when(canon.isNull(), F.lit(None).cast("string"))
                  .otherwise(host_from_canonical(canon)))
     bad = tagged.where(F.col("host").isNull())
-    w = Window.partitionBy("host").orderBy(F.col(id_col).asc())
-    kept = (tagged.where(F.col("host").isNotNull())
-            .withColumn("__rn", F.row_number().over(w))
+    good = tagged.where(F.col("host").isNotNull()) \
+        .withColumn("__pid", F.spark_partition_id())
+    lw = Window.partitionBy("host", "__pid").orderBy(F.col(id_col).asc())
+    local = (good.withColumn("__rn", F.row_number().over(lw))
+             .where(F.col("__rn") <= max_per_host)
+             .drop("__rn", "__pid"))
+    gw = Window.partitionBy("host").orderBy(F.col(id_col).asc())
+    kept = (local.withColumn("__rn", F.row_number().over(gw))
             .where(F.col("__rn") <= max_per_host).drop("__rn"))
     return kept.unionByName(bad)
