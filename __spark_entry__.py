@@ -2858,6 +2858,77 @@ def q_text_chunk_documents(spark, sf_dir):
                            max_tokens=24, overlap=8)
 
 
+@q("text_bad_words", r"""
+WITH docs AS (
+  SELECT doc_id, lang, coalesce(text,'')
+   || CASE WHEN doc_id % 6 = 0 THEN ' darn'
+           WHEN doc_id % 6 = 1 THEN ' DarnED'
+           WHEN doc_id % 6 = 2 THEN ' and heck DANG indeed'
+           WHEN doc_id % 6 = 3 THEN ' heckdang'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  (list_has_any(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'),
+                ['darn'])
+   OR contains(lower(text), 'heck dang')) AS has_bad_word
+FROM docs
+""")
+def q_text_bad_words(spark, sf_dir):
+    # C4's bad-words page rule with its exact matching semantics:
+    # single entries as whole lowercase tokens (planted 'DarnED' and
+    # 'heckdang' must NOT flag), phrases as substrings; pure Catalyst,
+    # replayed with DuckDB list_has_any/contains
+    from tsv_utils_spark.operators.text import flag_bad_words
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(i % 6 == 0, F.lit(" darn"))
+         .when(i % 6 == 1, F.lit(" DarnED"))
+         .when(i % 6 == 2, F.lit(" and heck DANG indeed"))
+         .when(i % 6 == 3, F.lit(" heckdang"))
+         .otherwise(F.lit("")))
+    return flag_bad_words(d.select("doc_id", planted.alias("text")),
+                          ["darn", "heck dang"]) \
+        .select("doc_id", "has_bad_word")
+
+
+@q("near_dedup_select_exact", r"""
+WITH d AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 3 = 0 THEN 'shared text block ' || (doc_id % 37)
+         ELSE coalesce(text,'') END AS t
+  FROM documents
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY md5(t)) AS m
+  FROM d) WHERE doc_id = m
+""")
+def q_near_dedup_select_exact(spark, sf_dir):
+    # near_dedup_select's CC + keep-min + anti-join machinery gated
+    # EXACTLY: pairs built from exact-content equality (planted clone
+    # cliques), so the surviving set must equal min-id-per-fingerprint
+    from tsv_utils_spark.operators.dedup import near_dedup_select
+
+    _ensure_shipped(spark)
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    t = F.when(i % 3 == 0,
+               F.concat(F.lit("shared text block "),
+                        (i % 37).cast("string"))) \
+         .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    d2 = d.select("doc_id", t.alias("__t"), "lang")
+    fp = d2.select(F.col("doc_id"), F.md5("__t").alias("__fp"))
+    pairs = (fp.alias("a").join(fp.alias("b"), "__fp")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    return near_dedup_select(d2, pairs, "doc_id") \
+        .select("doc_id", "lang")
+
+
 @q("jsonl_roundtrip", r"""
 SELECT doc_id,
   CASE WHEN doc_id % 5 = 1 THEN 'tab' || chr(9) || 'here "quoted" back\slash'
@@ -2931,22 +3002,23 @@ _FRONT_OF_BOARD = [
     # round-5 late additions (never driver-run):
     "text_c4_quality", "dedup_paragraphs_global", "dedup_sentence_spans",
     "url_dedup", "url_host_stats", "url_domain_cap", "semdedup_planted",
-    "jsonl_roundtrip", "text_chunk_documents",
+    "jsonl_roundtrip", "text_chunk_documents", "text_bad_words",
+    "near_dedup_select_exact",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
     # r2-dated:
     "split_bucket_det", "select_project", "append_union", "number_lines",
     "values_ordered", "hll_unique_count", "cm_mode",
-    # r3-dated (summarize_retain, format_number displaced by
-    # jsonl_roundtrip, text_chunk_documents):
+    # r3-dated (summarize_retain, format_number, filter_empty_blank,
+    # filter_numeric_classes displaced by jsonl_roundtrip,
+    # text_chunk_documents, text_bad_words, near_dedup_select_exact):
     "filter_field_vs_field", "filter_string_ops", "join_semi", "join_anti",
     "join_append", "join_write_all", "join_bloom_semi", "join_bloom_anti",
     "join_salted", "uniq_first", "uniq_equiv", "uniq_number",
     "uniq_repeated", "sample_bernoulli_det", "sample_distinct_det",
     "sample_topk_det", "sample_weighted_det", "gen_random_inorder_det",
-    "sample_stratified_det", "sample_token_budget", "filter_empty_blank",
-    "filter_numeric_classes",
+    "sample_stratified_det", "sample_token_budget",
     # (uniq_wholeline, unique_values_first_seen, filter_len,
     # sample_replacement_det stay r3-green on the back board —
     # displaced by the four round-5 additions; events_hourly,

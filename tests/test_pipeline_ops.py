@@ -1763,3 +1763,68 @@ class TestReviewRegressionsR5Late:
         df = spark.createDataFrame([(0, "a.")], ["doc_id", "text"])
         with _pytest.raises(ValueError):
             dedup_sentence_spans_global(df, span=0)
+
+
+class TestBadWords:
+    def test_token_boundary_and_phrase_semantics(self, spark):
+        from tsv_utils_spark.operators.text import flag_bad_words
+
+        rows = [
+            (0, "a perfectly clean document here"),
+            (1, "contains the word BADWORD in caps"),
+            (2, "classroom assignment passes"),      # substring traps
+            (3, "has the bad phrase right here"),
+            (4, "badword-ish hyphenated stays unflagged"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r["has_bad_word"] for r in
+               flag_bad_words(df, ["badword", "bad phrase"]).collect()}
+        assert out == {0: False, 1: True, 2: False, 3: True,
+                       4: False, 5: False}
+
+    def test_empty_list_flags_nothing(self, spark):
+        from tsv_utils_spark.operators.text import flag_bad_words
+
+        df = spark.createDataFrame([(0, "anything")], ["doc_id", "text"])
+        assert flag_bad_words(df, []).collect()[0]["has_bad_word"] is False
+
+    def test_no_shuffle_no_python(self, spark):
+        from tsv_utils_spark.operators.text import flag_bad_words
+
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        plan = flag_bad_words(df, ["a", "b c"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestNearDedupSelect:
+    def test_keeps_min_id_per_component_plus_singletons(self, spark):
+        from tsv_utils_spark.operators.dedup import near_dedup_select
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(7)], ["doc_id", "text"])
+        # components: {0,1,2} (chained), {4,5}; 3 and 6 pair with nothing
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+        out = sorted(r["doc_id"] for r in
+                     near_dedup_select(df, pairs, "doc_id").collect())
+        assert out == [0, 3, 4, 6]
+
+    def test_composes_with_minhash_pairs(self, spark):
+        from tsv_utils_spark.operators.dedup import (
+            minhash_dedup,
+            near_dedup_select,
+        )
+
+        base = ("the quick brown fox jumps over the lazy dog and keeps "
+                "running through the quiet forest until dawn breaks")
+        rows = [(i, base) for i in range(4)]
+        rows += [(10 + i, f"totally different text number {i} with "
+                          f"unique words like zebra{i} and ocean{i}")
+                 for i in range(3)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = minhash_dedup(df, "text", "doc_id", threshold=0.8)
+        out = sorted(r["doc_id"] for r in
+                     near_dedup_select(df, pairs, "doc_id").collect())
+        assert out == [0, 10, 11, 12]

@@ -770,3 +770,39 @@ def dedup_sentence_spans_global(df: DataFrame, col: str = "text",
                    F.array().cast("array<int>")), i.cast("int")))
     return df.join(rm, id_col, "left").select(
         F.col(id_col), F.array_join(kept, "").alias(col))
+
+
+def near_dedup_select(df: DataFrame, pairs: DataFrame, id_col: str,
+                      checkpoint_dir: str | None = None) -> DataFrame:
+    """Turn a near-dup detector's output into the deduplicated corpus —
+    the composition every pipeline runs after candidate generation.
+    Accepts BOTH output shapes of the dedup family:
+
+    - a PAIR table ``(id_a, id_b, ...)`` (:func:`simhash_dedup`,
+      :func:`embedding_dedup`, :func:`ngram_jaccard_pairs`, or
+      :func:`semdedup` edges): connected components are computed here
+      and the smallest id of each component survives;
+    - a DROP table ``(<id_col>, dup_of)`` (:func:`minhash_dedup`,
+      which has already closed its components): its ids are dropped
+      directly.
+
+    Returns ``df`` filtered to survivors (rows pairing with nothing all
+    survive), original columns unchanged.
+
+    Scale shape: components over the (tiny) pair table only; the drop
+    set is anti-joined against the corpus — the corpus itself never
+    shuffles.
+    """
+    cols = set(pairs.columns)
+    if {"id_a", "id_b"} <= cols:
+        comp = connected_components(pairs.select("id_a", "id_b"),
+                                    checkpoint_dir=checkpoint_dir)
+        drop = comp.where(F.col("id") != F.col("component")) \
+                   .select(F.col("id").alias(id_col))
+    elif "dup_of" in cols and id_col in cols:
+        drop = pairs.select(id_col)
+    else:
+        raise ValueError(
+            f"pairs must have columns (id_a, id_b) or ({id_col}, "
+            f"dup_of); got {sorted(cols)}")
+    return df.join(drop, id_col, "left_anti")

@@ -561,3 +561,40 @@ def chunk_documents(df: DataFrame, col: str = "text",
         F.col("__c.idx").alias("chunk_idx"),
         F.size("__c.__t").alias("n_chunk_tokens"),
         F.array_join("__c.__t", " ").alias("chunk_text"))
+
+
+def flag_bad_words(df: DataFrame, words, col: str = "text",
+                   flag_col: str = "has_bad_word") -> DataFrame:
+    """The C4 bad-words page rule ("removed any page containing a word
+    on the blocklist") as a flag column. The list itself is data the
+    caller supplies (the published pipelines use externally maintained
+    lists); matching semantics here are C4's:
+
+    - single-token entries match as WHOLE lowercase tokens (substring
+      matching would flag 'class' for 'ass');
+    - multi-word entries match as lowercase substrings (phrases span
+      token boundaries, e.g. 'lorem ipsum').
+
+    Pure Catalyst: the token entries become one literal array probed
+    with ``arrays_overlap`` (hash-set lookup JVM-side) against the
+    doc's distinct lowercase tokens; phrase entries fold into
+    ``contains`` checks. Both stay inside the scan's projection — no
+    shuffle, no Python. List size is bounded by plan size (fine for
+    the published lists, ~2k entries); for million-entry lists use a
+    broadcast join on exploded tokens instead.
+    """
+    words = [w.lower() for w in words]
+    tokens = [w for w in words if not any(c.isspace() for c in w)]
+    phrases = [w for w in words if any(c.isspace() for c in w)]
+    low = F.lower(F.coalesce(F.col(col), F.lit("")))
+    checks = []
+    if tokens:
+        toks = F.array_distinct(F.split(F.trim(low), "[ \t\n\f\r]+"))
+        checks.append(F.arrays_overlap(
+            toks, F.array(*[F.lit(w) for w in tokens])))
+    for p in phrases:
+        checks.append(low.contains(p))
+    flag = checks[0] if checks else F.lit(False)
+    for c in checks[1:]:
+        flag = flag | c
+    return df.withColumn(flag_col, flag)
