@@ -2962,6 +2962,63 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return read_jsonl(spark, path, schema=out.schema)
 
 
+@q("corpus_quality_report", r"""
+WITH base AS (
+  SELECT doc_id, lang, coalesce(text, '') AS c,
+         regexp_split_to_array(trim(coalesce(text, '')), '[ \t\n\f\r]+') AS words,
+         regexp_split_to_array(coalesce(text, ''), '\n') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(c)) = 0 THEN 0 ELSE len(words) END AS n_words,
+    len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+        ['the','be','to','of','and','that','have','with'])) AS n_stops,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+    len(list_filter(regexp_split_to_array(
+          coalesce(array_to_string(list_filter(lines,
+            l -> regexp_matches(trim(l), '[.!?"”]$')
+                 AND len(regexp_split_to_array(trim(l), '[ \t\n\f\r]+')) >= 5
+                 AND NOT contains(lower(l), 'javascript')), chr(10)), ''),
+          '[.!?]+'),
+        x -> regexp_matches(x, '[\p{L}\p{N}]'))) AS n_sentences,
+    contains(lower(c), 'lorem ipsum') AS lorem, contains(c, '{') AS brace
+  FROM base
+)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_words) AS BIGINT) AS total_words,
+  CAST(sum(CASE WHEN n_words >= 10 AND CAST(alpha_words AS DOUBLE)
+                     / greatest(n_words, 1) >= 0.5 AND n_stops >= 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+  CAST(sum(CASE WHEN n_sentences >= 3 AND NOT lorem AND NOT brace
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_pass
+FROM m GROUP BY lang
+""")
+def q_corpus_quality_report(spark, sf_dir):
+    # the composed corpus-intake report: per-language doc/word counts
+    # plus corpus-scaled Gopher-style and C4 pass rates. The quality
+    # stages CHAIN via their `keep` passthrough (gopher keeps lang +
+    # text for c4; c4 keeps lang + gopher's metrics), so the whole
+    # report is ONE scan + ONE groupBy(lang) — no self-join on doc_id
+    # (verified: executed plan has a single FileScan, one exchange,
+    # zero joins, zero Python)
+    from tsv_utils_spark.operators.text import c4_quality, gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    g = gopher_quality(d, keep=("lang", "text"))
+    met = c4_quality(g, keep=("lang", "n_words", "alpha_frac",
+                              "n_stopwords"))
+    return met.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum(F.when((F.col("n_words") >= 10)
+                     & (F.col("alpha_frac") >= 0.5)
+                     & (F.col("n_stopwords") >= 1), 1)
+               .otherwise(0)).cast("long").alias("n_quality_pass"),
+        F.sum(F.when(F.col("c4_pass"), 1).otherwise(0)).cast("long")
+         .alias("n_c4_pass"))
+
+
 @q("semdedup_planted")  # no oracle: k-means cells are not SQL-expressible;
 # planted exact clones self-validate (every clone must drop, every
 # original must survive) — planted_all_found gates the result
@@ -3003,7 +3060,7 @@ _FRONT_OF_BOARD = [
     "text_c4_quality", "dedup_paragraphs_global", "dedup_sentence_spans",
     "url_dedup", "url_host_stats", "url_domain_cap", "semdedup_planted",
     "jsonl_roundtrip", "text_chunk_documents", "text_bad_words",
-    "near_dedup_select_exact",
+    "near_dedup_select_exact", "corpus_quality_report",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
@@ -3011,14 +3068,15 @@ _FRONT_OF_BOARD = [
     "split_bucket_det", "select_project", "append_union", "number_lines",
     "values_ordered", "hll_unique_count", "cm_mode",
     # r3-dated (summarize_retain, format_number, filter_empty_blank,
-    # filter_numeric_classes displaced by jsonl_roundtrip,
-    # text_chunk_documents, text_bad_words, near_dedup_select_exact):
+    # filter_numeric_classes, sample_token_budget displaced by
+    # jsonl_roundtrip, text_chunk_documents, text_bad_words,
+    # near_dedup_select_exact, corpus_quality_report):
     "filter_field_vs_field", "filter_string_ops", "join_semi", "join_anti",
     "join_append", "join_write_all", "join_bloom_semi", "join_bloom_anti",
     "join_salted", "uniq_first", "uniq_equiv", "uniq_number",
     "uniq_repeated", "sample_bernoulli_det", "sample_distinct_det",
     "sample_topk_det", "sample_weighted_det", "gen_random_inorder_det",
-    "sample_stratified_det", "sample_token_budget",
+    "sample_stratified_det",
     # (uniq_wholeline, unique_values_first_seen, filter_len,
     # sample_replacement_det stay r3-green on the back board —
     # displaced by the four round-5 additions; events_hourly,

@@ -1828,3 +1828,27 @@ class TestNearDedupSelect:
         out = sorted(r["doc_id"] for r in
                      near_dedup_select(df, pairs, "doc_id").collect())
         assert out == [0, 10, 11, 12]
+
+
+class TestQualityChaining:
+    def test_keep_passthrough_chains_one_scan(self, spark, tmp_path):
+        from tsv_utils_spark.operators.text import c4_quality, gopher_quality
+
+        p = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(0, "Some words here. More words now! And a third one.", "en")],
+            ["doc_id", "text", "lang"]).write.parquet(p)
+        d = spark.read.parquet(p)
+        g = gopher_quality(d, keep=("lang", "text"))
+        met = c4_quality(g, keep=("lang", "n_words"))
+        rep = met.groupBy("lang").count()
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        # the chained stages must fuse into ONE scan, no join, no Python
+        assert plan.count("FileScan") == 1
+        assert "Join" not in plan and "Python" not in plan
+        row = met.collect()[0]
+        assert row["lang"] == "en" and row["n_words"] == 10
+        # the one 10-word punct-terminated line is kept and carries
+        # three sentences -> the C4 gate passes
+        assert row["c4_pass"] is True
+        assert row["n_lines_kept"] == 1 and row["n_sentences"] == 3

@@ -216,7 +216,8 @@ _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def gopher_quality(df: DataFrame, col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   keep: tuple = ()) -> DataFrame:
     """The published Gopher document-quality rules (Rae et al. 2021,
     "Scaling Language Models", App. A1.1) plus its repetition rules'
     line-level pair — the standard cheap pre-filter of LLM data
@@ -232,7 +233,10 @@ def gopher_quality(df: DataFrame, col: str = "text",
     - duplicate-line fraction <= 0.30; duplicate-line character
       fraction <= 0.20
 
-    Returns (id, metrics..., gopher_pass). Fraction columns are raw
+    Returns (id, *keep, metrics..., gopher_pass); ``keep`` names input
+    columns passed through unchanged, so quality stages CHAIN into one
+    scan (e.g. c4_quality(gopher_quality(d, keep=("lang", "text"))))
+    instead of self-joining on the id. Fraction columns are raw
     int/int IEEE divisions (bit-identical across engines — the oracle
     replays them in DuckDB list comprehensions).
     """
@@ -281,6 +285,7 @@ def gopher_quality(df: DataFrame, col: str = "text",
                    & (dup_line_frac <= 0.3) & (dup_char_frac <= 0.2))
     return df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -454,7 +459,8 @@ def token_frequency_stats(df: DataFrame, col: str = "text",
 def c4_quality(df: DataFrame, col: str = "text",
                id_col: str = "doc_id",
                min_words_per_line: int = 5,
-               min_sentences: int = 3) -> DataFrame:
+               min_sentences: int = 3,
+               keep: tuple = ()) -> DataFrame:
     """The published C4 cleaning rules (Raffel et al. 2020, §2.2) as ONE
     pure-Catalyst projection — the other standard cheap pre-filter next
     to :func:`gopher_quality`:
@@ -470,8 +476,10 @@ def c4_quality(df: DataFrame, col: str = "text",
     (C4 also applies an external bad-words list — supply it upstream as
     a tsv-filter regex; it is a data file, not an operator.)
 
-    Returns (id, n_lines, n_lines_kept, frac_lines_kept, n_sentences,
-    has_lorem_ipsum, has_curly_brace, clean_text, c4_pass). Fractions
+    Returns (id, *keep, n_lines, n_lines_kept, frac_lines_kept,
+    n_sentences, has_lorem_ipsum, has_curly_brace, clean_text,
+    c4_pass); ``keep`` passes input columns through so quality stages
+    chain into one scan. Fractions
     are single int/int IEEE divides (bit-identical across engines — the
     oracle replays them in DuckDB list comprehensions).
     """
@@ -501,6 +509,7 @@ def c4_quality(df: DataFrame, col: str = "text",
     c4_pass = (n_sent >= min_sentences) & ~lorem & ~brace
     return df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep],
         n_lines.cast("int").alias("n_lines"),
         n_kept.cast("int").alias("n_lines_kept"),
         (n_kept.cast("double")
