@@ -2758,7 +2758,7 @@ WITH docs AS (
   FROM a WHERE len(arr) >= 3
 ), keyed AS (
   SELECT doc_id, start,
-         md5(lower(trim(array_to_string(arr[CAST(start+1 AS INT):CAST(start+3 AS INT)], '')))) AS key
+         md5(trim(regexp_replace(lower(array_to_string(arr[CAST(start+1 AS INT):CAST(start+3 AS INT)], '')), '[ \t\n\f\r]+', ' ', 'g'))) AS key
   FROM sp
 ), d2 AS (
   SELECT doc_id, start FROM (
@@ -2962,6 +2962,64 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return read_jsonl(spark, path, schema=out.schema)
 
 
+@q("dedup_token_windows", r"""
+WITH docs AS (
+  SELECT doc_id, coalesce(text,'')
+   || CASE WHEN doc_id % 4 = 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu tail' || doc_id ELSE '' END
+   || CASE WHEN doc_id % 6 = 1 THEN '  ALPHA   BETA   GAMMA   DELTA   EPSILON   ZETA   ETA   THETA   IOTA   KAPPA   LAMBDA   MU' ELSE '' END AS text
+  FROM documents
+), a AS (
+  SELECT doc_id, coalesce(text,'') AS c,
+         regexp_extract_all(coalesce(text,''), '^[ \t\n\f\r]+|[^ \t\n\f\r]+[ \t\n\f\r]*') AS arr
+  FROM docs
+), sp AS (
+  SELECT doc_id, CAST(unnest(range(len(arr) - 12 + 1)) AS INTEGER) AS start, arr
+  FROM a WHERE len(arr) >= 12
+), keyed AS (
+  SELECT doc_id, start,
+         md5(trim(regexp_replace(lower(array_to_string(arr[CAST(start+1 AS INT):CAST(start+12 AS INT)], '')), '[ \t\n\f\r]+', ' ', 'g'))) AS key
+  FROM sp
+), f AS (
+  SELECT key, min(struct_pack(doc_id := doc_id, start := start)) AS m
+  FROM keyed GROUP BY key
+), d2 AS (
+  SELECT k.doc_id, k.start FROM keyed k JOIN f USING (key)
+  WHERE k.doc_id != f.m.doc_id OR k.start != f.m.start
+), rm AS (
+  SELECT DISTINCT doc_id, CAST(unnest(range(start, start + 12)) AS INTEGER) AS sidx FROM d2
+), g AS (
+  SELECT doc_id, list(sidx) AS rml FROM rm GROUP BY doc_id
+)
+SELECT a.doc_id,
+  coalesce(array_to_string(list_filter(a.arr,
+    (x, i) -> NOT list_contains(coalesce(g.rml, []), CAST(i - 1 AS INTEGER))), ''), '') AS text
+FROM a LEFT JOIN g USING (doc_id)
+""")
+def q_dedup_token_windows(spark, sf_dir):
+    # Lee et al. 2021 exact-substring dedup at token granularity
+    # (12-token windows here): planted word runs recur across docs
+    # exactly and as reflowed UPPER-CASE copies (whitespace-collapsed
+    # case-folded keys must match both); the oracle replays the full
+    # tokenize/window/keep-first/index-filter pipeline — rebuilt text
+    # is byte-exact
+    from tsv_utils_spark.operators.dedup import dedup_token_windows_global
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(i % 4 == 0,
+               F.concat(F.lit(" alpha beta gamma delta epsilon zeta eta "
+                              "theta iota kappa lambda mu tail"),
+                        i.cast("string"))).otherwise(F.lit("")),
+        F.when(i % 6 == 1,
+               F.lit("  ALPHA   BETA   GAMMA   DELTA   EPSILON   ZETA   "
+                     "ETA   THETA   IOTA   KAPPA   LAMBDA   MU"))
+         .otherwise(F.lit("")))
+    return dedup_token_windows_global(
+        d.select("doc_id", planted.alias("text")), window=12)
+
+
 @q("corpus_quality_report", r"""
 WITH base AS (
   SELECT doc_id, lang, coalesce(text, '') AS c,
@@ -3061,6 +3119,7 @@ _FRONT_OF_BOARD = [
     "url_dedup", "url_host_stats", "url_domain_cap", "semdedup_planted",
     "jsonl_roundtrip", "text_chunk_documents", "text_bad_words",
     "near_dedup_select_exact", "corpus_quality_report",
+    "dedup_token_windows",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
@@ -3076,7 +3135,6 @@ _FRONT_OF_BOARD = [
     "join_salted", "uniq_first", "uniq_equiv", "uniq_number",
     "uniq_repeated", "sample_bernoulli_det", "sample_distinct_det",
     "sample_topk_det", "sample_weighted_det", "gen_random_inorder_det",
-    "sample_stratified_det",
     # (uniq_wholeline, unique_values_first_seen, filter_len,
     # sample_replacement_det stay r3-green on the back board —
     # displaced by the four round-5 additions; events_hourly,

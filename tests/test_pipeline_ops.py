@@ -1852,3 +1852,50 @@ class TestQualityChaining:
         # three sentences -> the C4 gate passes
         assert row["c4_pass"] is True
         assert row["n_lines_kept"] == 1 and row["n_sentences"] == 3
+
+
+class TestTokenWindowDedup:
+    def _run(self, spark, rows, window=6):
+        from tsv_utils_spark.operators.dedup import (
+            dedup_token_windows_global,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r["doc_id"]: r["text"] for r in
+                dedup_token_windows_global(df, window=window).collect()}
+
+    def test_keep_first_run_across_docs(self, spark):
+        run = "one two three four five six"
+        out = self._run(spark, [
+            (0, f"intro {run} tail zero"),
+            (1, f"{run} tail one"),
+            (2, f"start TWO   three four five six one".replace("TWO", "one two")),
+        ])
+        assert out[0] == f"intro {run} tail zero"
+        # doc 1 loses the shared run AND its 'tail' token: the window
+        # 'two three four five six tail' also duplicates doc 0's
+        assert out[1] == "one"
+        # reflowed + case-variant window (doc 2 contains 'one two three
+        # four five six' with extra spacing) is also removed
+        assert "three four five six" not in out[2]
+
+    def test_byte_exact_when_no_dups(self, spark):
+        text = "  leading ws,  inner\tspacing\nand newline tail"
+        out = self._run(spark, [(0, text)], window=50)
+        assert out[0] == text  # fewer tokens than window: untouched
+
+    def test_long_duplicate_region_removed_wholesale(self, spark):
+        words = " ".join(f"w{i}" for i in range(20))
+        out = self._run(spark, [(0, words), (1, words)], window=6)
+        assert out[0] == words and out[1] == ""
+
+    def test_window_validation(self, spark):
+        import pytest as _pytest
+
+        from tsv_utils_spark.operators.dedup import (
+            dedup_token_windows_global,
+        )
+
+        df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            dedup_token_windows_global(df, window=0)

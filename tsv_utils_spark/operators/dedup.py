@@ -716,7 +716,8 @@ def dedup_sentence_spans_global(df: DataFrame, col: str = "text",
     all but one of any three-sentence span occurring more than once"):
     corpus-wide keep-FIRST over runs of ``span`` consecutive sentences.
     The first occurrence (in (id, position) order) of each normalized
-    span survives; every later occurrence has ALL its sentences
+    span survives (keys are case-folded and whitespace-collapsed, so
+    reflowed copies of the same sentences still match); every later occurrence has ALL its sentences
     removed (a sentence is removed if ANY duplicate span covers it);
     documents are rebuilt from the surviving sentence tokens
     byte-exactly — tokens carry their own punctuation and trailing
@@ -739,9 +740,67 @@ def dedup_sentence_spans_global(df: DataFrame, col: str = "text",
     """
     if span < 1:
         raise ValueError(f"need span >= 1, got {span}")
+    return _keep_first_span_dedup(df, col, id_col, _SENT_PAT, span)
+
+
+# whitespace-word tokenizer for token-window dedup: a token is a word
+# plus its trailing whitespace, with a leading-whitespace token at
+# position 0 when the text starts with whitespace — tokens PARTITION
+# the text, so removal + reassembly is byte-exact (same trick as
+# _SENT_PAT). RE2-portable.
+_WORD_PAT = r"^[ \t\n\f\r]+|[^ \t\n\f\r]+[ \t\n\f\r]*"
+
+
+def dedup_token_windows_global(df: DataFrame, col: str = "text",
+                               id_col: str = "doc_id",
+                               window: int = 50) -> DataFrame:
+    """Exact-substring dedup at token granularity — the method of Lee
+    et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): any run of ``window`` consecutive word
+    tokens occurring more than once in the corpus keeps only its first
+    occurrence; every other occurrence has the covered tokens removed
+    (overlapping duplicate windows remove their union, so a long
+    duplicated region disappears wholesale), and documents are rebuilt
+    byte-exactly from the surviving tokens.
+
+    Lee et al. build suffix arrays over the tokenized corpus; the
+    Spark-native shape here hashes every length-``window`` token slice
+    (O(n x window) bytes through md5 — embarrassingly parallel, no
+    global structure) into the same keep-first aggregate/skew-join
+    machinery as :func:`dedup_sentence_spans_global`. Window keys are
+    whitespace-and-case normalized, so reflowed copies still match.
+
+    Returns (id_col, text).
+    """
+    if window < 1:
+        raise ValueError(f"need window >= 1, got {window}")
+    return _keep_first_span_dedup(df, col, id_col, _WORD_PAT, window)
+
+
+def _keep_first_span_dedup(df: DataFrame, col: str, id_col: str,
+                           token_pat: str, span: int) -> DataFrame:
+    """Shared core of the keep-first span/window dedups. The tokenizer
+    pattern must PARTITION the text (concatenating all matches
+    reproduces the input) — that is what makes removal + reassembly
+    byte-exact plain concatenation.
+
+    Scale shape: ONE scan of the text column; spans explode to
+    ~n_tokens rows carrying only (id, start, md5 key). The first
+    occurrence per key is a min-struct AGGREGATE (partial map-side
+    combine — a boilerplate span repeated in millions of docs reduces
+    per map task before the shuffle; a row_number window would funnel
+    every occurrence into one partition AQE cannot split). Non-first
+    occurrences come from re-joining spans to the firsts on the key —
+    a shuffle join AQE's skewed-join splitting DOES handle. The
+    removal set (id, token-index) is tiny (only duplicated spans),
+    collapses to one array per affected doc, and is applied as an
+    index-filter projection — the text column itself never shuffles.
+    """
     c = F.coalesce(F.col(col), F.lit(""))
-    arr = F.regexp_extract_all(c, F.lit(_SENT_PAT), F.lit(0))
+    arr = F.regexp_extract_all(c, F.lit(token_pat), F.lit(0))
     empty = F.array().cast("array<struct<start:int,key:string>>")
+    norm = lambda x: F.trim(F.regexp_replace(  # noqa: E731
+        F.lower(x), "[ \t\n\f\r]+", " "))
     spans = df.select(
         F.col(id_col),
         F.explode(
@@ -749,8 +808,9 @@ def dedup_sentence_spans_global(df: DataFrame, col: str = "text",
                 F.sequence(F.lit(0), F.size(arr) - span),
                 lambda i: F.struct(
                     i.cast("int").alias("start"),
-                    F.md5(F.lower(F.trim(F.array_join(
-                        F.slice(arr, i + 1, span), "")))).alias("key"))))
+                    F.md5(norm(F.array_join(
+                        F.slice(arr, i + 1, span), "")))
+                     .alias("key"))))
              .otherwise(empty)).alias("__sp")) \
         .select(id_col, F.col("__sp.start").alias("__start"),
                 F.col("__sp.key").alias("__key"))
