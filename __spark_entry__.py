@@ -2861,34 +2861,37 @@ def q_text_chunk_documents(spark, sf_dir):
 @q("text_bad_words", r"""
 WITH docs AS (
   SELECT doc_id, lang, coalesce(text,'')
-   || CASE WHEN doc_id % 6 = 0 THEN ' darn'
+   || CASE WHEN doc_id % 6 = 0 THEN ' so darn.'
            WHEN doc_id % 6 = 1 THEN ' DarnED'
-           WHEN doc_id % 6 = 2 THEN ' and heck DANG indeed'
+           WHEN doc_id % 6 = 2 THEN ' and heck  DANG indeed'
            WHEN doc_id % 6 = 3 THEN ' heckdang'
+           WHEN doc_id % 6 = 4 THEN ' (darn-ish)'
            ELSE '' END AS text
   FROM documents
 )
 SELECT doc_id,
-  (list_has_any(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'),
+  (list_has_any(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
                 ['darn'])
-   OR contains(lower(text), 'heck dang')) AS has_bad_word
+   OR regexp_matches(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g'),
+                     '(^|[^a-z0-9_])heck dang($|[^a-z0-9_])')) AS has_bad_word
 FROM docs
 """)
 def q_text_bad_words(spark, sf_dir):
-    # C4's bad-words page rule with its exact matching semantics:
-    # single entries as whole lowercase tokens (planted 'DarnED' and
-    # 'heckdang' must NOT flag), phrases as substrings; pure Catalyst,
-    # replayed with DuckDB list_has_any/contains
+    # C4's bad-words page rule with \b word-boundary semantics:
+    # planted 'darn.', '(darn-ish)' and the reflowed 'heck  DANG' must
+    # flag; 'DarnED' and 'heckdang' must NOT; pure Catalyst, replayed
+    # with DuckDB list_has_any over word-char runs + boundary regex
     from tsv_utils_spark.operators.text import flag_bad_words
 
     d = _t(spark, sf_dir, "documents")
     i = F.col("doc_id")
     planted = F.concat(
         F.coalesce(F.col("text"), F.lit("")),
-        F.when(i % 6 == 0, F.lit(" darn"))
+        F.when(i % 6 == 0, F.lit(" so darn."))
          .when(i % 6 == 1, F.lit(" DarnED"))
-         .when(i % 6 == 2, F.lit(" and heck DANG indeed"))
+         .when(i % 6 == 2, F.lit(" and heck  DANG indeed"))
          .when(i % 6 == 3, F.lit(" heckdang"))
+         .when(i % 6 == 4, F.lit(" (darn-ish)"))
          .otherwise(F.lit("")))
     return flag_bad_words(d.select("doc_id", planted.alias("text")),
                           ["darn", "heck dang"]) \

@@ -1774,14 +1774,19 @@ class TestBadWords:
             (1, "contains the word BADWORD in caps"),
             (2, "classroom assignment passes"),      # substring traps
             (3, "has the bad phrase right here"),
-            (4, "badword-ish hyphenated stays unflagged"),
+            (4, "badword-ish hyphenated"),   # '-' is a \b boundary: flags
             (5, None),
+            (6, "ends with badword."),       # punctuation-adjacent: flags
+            (7, "(badword) parenthesized"),  # flags
+            (8, "a badworded page"),         # inside a longer word: clean
+            (9, "the bad  phrase reflowed"),  # collapsed whitespace: flags
         ]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         out = {r["doc_id"]: r["has_bad_word"] for r in
                flag_bad_words(df, ["badword", "bad phrase"]).collect()}
         assert out == {0: False, 1: True, 2: False, 3: True,
-                       4: False, 5: False}
+                       4: True, 5: False, 6: True, 7: True,
+                       8: False, 9: True}
 
     def test_empty_list_flags_nothing(self, spark):
         from tsv_utils_spark.operators.text import flag_bad_words
@@ -1899,3 +1904,59 @@ class TestTokenWindowDedup:
         df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
         with _pytest.raises(ValueError):
             dedup_token_windows_global(df, window=0)
+
+
+class TestReviewRegressionsR5Late2:
+    def test_span_dedup_null_id_raises_in_plan(self, spark):
+        import pytest as _pytest
+
+        from tsv_utils_spark.operators.dedup import (
+            dedup_token_windows_global,
+        )
+
+        df = spark.createDataFrame(
+            [(None, "p q r s t u"), (7, "p q r s t u")],
+            "doc_id long, text string")
+        with _pytest.raises(Exception, match="NULL doc_id"):
+            dedup_token_windows_global(df, window=3).collect()
+
+    def test_url_dedup_null_id_raises_in_plan(self, spark):
+        import pytest as _pytest
+
+        from tsv_utils_spark.operators.web import url_dedup
+
+        df = spark.createDataFrame(
+            [(None, "https://a.com/x"), (5, "https://a.com/x/")],
+            "doc_id long, url string")
+        with _pytest.raises(Exception, match="NULL doc_id"):
+            url_dedup(df).collect()
+
+    def test_keep_validation(self, spark):
+        import pytest as _pytest
+
+        from tsv_utils_spark.operators.text import c4_quality, gopher_quality
+
+        df = spark.createDataFrame([(0, "x", "en")],
+                                   ["doc_id", "text", "lang"])
+        with _pytest.raises(TypeError, match="bare string"):
+            gopher_quality(df, keep="lang")
+        with _pytest.raises(ValueError, match="collide"):
+            gopher_quality(df, keep=("n_words",))
+        with _pytest.raises(ValueError, match="collide"):
+            c4_quality(df, keep=("c4_pass",))
+
+    def test_span_table_materialized_once(self, spark, tmp_path):
+        # the tokenize+md5 subtree must not recompute per consumer:
+        # with the localCheckpoint in place the final plan reads the
+        # parquet source only for the REBUILD scan (span building reads
+        # the materialized table)
+        from tsv_utils_spark.operators.dedup import (
+            dedup_token_windows_global,
+        )
+
+        p = str(tmp_path / "docs")
+        spark.createDataFrame([(0, "a b c d"), (1, "a b c d")],
+                              ["doc_id", "text"]).write.parquet(p)
+        out = dedup_token_windows_global(spark.read.parquet(p), window=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 1

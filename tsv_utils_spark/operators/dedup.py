@@ -784,25 +784,38 @@ def _keep_first_span_dedup(df: DataFrame, col: str, id_col: str,
     reproduces the input) — that is what makes removal + reassembly
     byte-exact plain concatenation.
 
-    Scale shape: ONE scan of the text column; spans explode to
-    ~n_tokens rows carrying only (id, start, md5 key). The first
-    occurrence per key is a min-struct AGGREGATE (partial map-side
-    combine — a boilerplate span repeated in millions of docs reduces
-    per map task before the shuffle; a row_number window would funnel
-    every occurrence into one partition AQE cannot split). Non-first
-    occurrences come from re-joining spans to the firsts on the key —
-    a shuffle join AQE's skewed-join splitting DOES handle. The
-    removal set (id, token-index) is tiny (only duplicated spans),
+    Scale shape: the tokenize + per-window md5 (the dominant cost) runs
+    ONCE — the narrow span table (id, start, md5 key) is materialized
+    via ``localCheckpoint`` and reused as both the aggregate input and
+    the join probe (without it Catalyst recomputes the explode subtree
+    for each consumer: measured 3 FileScans / 2x the hashing). The
+    first occurrence per key is a min-struct AGGREGATE (partial
+    map-side combine — a boilerplate span repeated in millions of docs
+    reduces per map task before the shuffle; a row_number window would
+    funnel every occurrence into one partition AQE cannot split).
+    Non-first occurrences come from re-joining spans to the firsts on
+    the key — a shuffle join AQE's skewed-join splitting DOES handle.
+    The removal set (id, token-index) is tiny (only duplicated spans),
     collapses to one array per affected doc, and is applied as an
-    index-filter projection — the text column itself never shuffles.
+    index-filter projection over one final text scan. NOTE: the
+    operator is therefore EAGER (the span job runs at call time, the
+    same convention as :func:`semdedup`'s assignment pass), and NULL
+    ids raise in-plan — a NULL id would make the keep-first ordering
+    undefined and silently disable removal for its keys.
     """
     c = F.coalesce(F.col(col), F.lit(""))
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(
+            f"keep-first span dedup: NULL {id_col} — keep-first order "
+            f"is undefined for NULL ids; assign surrogate ids first"))
+    ).otherwise(F.col(id_col))
     arr = F.regexp_extract_all(c, F.lit(token_pat), F.lit(0))
     empty = F.array().cast("array<struct<start:int,key:string>>")
     norm = lambda x: F.trim(F.regexp_replace(  # noqa: E731
         F.lower(x), "[ \t\n\f\r]+", " "))
     spans = df.select(
-        F.col(id_col),
+        checked_id.alias(id_col),
         F.explode(
             F.when(F.size(arr) >= span, F.transform(
                 F.sequence(F.lit(0), F.size(arr) - span),
@@ -813,7 +826,8 @@ def _keep_first_span_dedup(df: DataFrame, col: str, id_col: str,
                      .alias("key"))))
              .otherwise(empty)).alias("__sp")) \
         .select(id_col, F.col("__sp.start").alias("__start"),
-                F.col("__sp.key").alias("__key"))
+                F.col("__sp.key").alias("__key")) \
+        .localCheckpoint(eager=True)
     firsts = spans.groupBy("__key").agg(
         F.min(F.struct(F.col(id_col), F.col("__start"))).alias("__f"))
     dups = (spans.join(firsts, "__key")
@@ -849,9 +863,12 @@ def near_dedup_select(df: DataFrame, pairs: DataFrame, id_col: str,
     Returns ``df`` filtered to survivors (rows pairing with nothing all
     survive), original columns unchanged.
 
-    Scale shape: components over the (tiny) pair table only; the drop
-    set is anti-joined against the corpus — the corpus itself never
-    shuffles.
+    Scale shape: components run over the pair table only. The drop set
+    is anti-joined against the corpus: while it fits the broadcast
+    threshold (the common case — only duplicates' ids) the corpus does
+    not shuffle; for heavily duplicated corpora the anti-join becomes
+    an AQE-planned shuffle join, which is the unavoidable cost of a
+    row-level drop at that dup rate.
     """
     cols = set(pairs.columns)
     if {"id_a", "id_b"} <= cols:

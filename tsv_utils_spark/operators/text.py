@@ -215,6 +215,24 @@ def compression_ratio(df: DataFrame, col: str = "text",
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def _check_keep(keep, reserved: set, op: str) -> tuple:
+    """Validate a quality operator's keep= passthrough: reject the
+    natural bare-string misuse (it would iterate per character) and
+    names that collide with the operator's own output columns (silent
+    duplicate columns break the next select with an ambiguous-
+    reference error far from the cause)."""
+    if isinstance(keep, str):
+        raise TypeError(f"{op}: keep must be a tuple/list of column "
+                        f"names, got the bare string {keep!r} — write "
+                        f"keep=({keep!r},)")
+    keep = tuple(keep)
+    clash = [k for k in keep if k in reserved]
+    if clash:
+        raise ValueError(f"{op}: keep names {clash} collide with the "
+                         f"operator's output columns")
+    return keep
+
+
 def gopher_quality(df: DataFrame, col: str = "text",
                    id_col: str = "doc_id",
                    keep: tuple = ()) -> DataFrame:
@@ -240,6 +258,11 @@ def gopher_quality(df: DataFrame, col: str = "text",
     int/int IEEE divisions (bit-identical across engines — the oracle
     replays them in DuckDB list comprehensions).
     """
+    keep = _check_keep(keep, {
+        "n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+        "n_stopwords", "bullet_frac", "ellipsis_end_frac",
+        "dup_line_frac", "dup_char_frac", "gopher_pass", id_col},
+        "gopher_quality")
     c = F.coalesce(F.col(col), F.lit(""))
     t = F.trim(c)
     words = F.split(t, "[ \t\n\f\r]+")
@@ -483,6 +506,10 @@ def c4_quality(df: DataFrame, col: str = "text",
     are single int/int IEEE divides (bit-identical across engines — the
     oracle replays them in DuckDB list comprehensions).
     """
+    keep = _check_keep(keep, {
+        "n_lines", "n_lines_kept", "frac_lines_kept", "n_sentences",
+        "has_lorem_ipsum", "has_curly_brace", "clean_text", "c4_pass",
+        id_col}, "c4_quality")
     c = F.coalesce(F.col(col), F.lit(""))
     lines = F.split(c, "\n")
 
@@ -579,30 +606,44 @@ def flag_bad_words(df: DataFrame, words, col: str = "text",
     caller supplies (the published pipelines use externally maintained
     lists); matching semantics here are C4's:
 
-    - single-token entries match as WHOLE lowercase tokens (substring
-      matching would flag 'class' for 'ass');
-    - multi-word entries match as lowercase substrings (phrases span
-      token boundaries, e.g. 'lorem ipsum').
+    - single entries match at WORD BOUNDARIES, C4's ``\\b word \\b``
+      regex semantics: the entry must appear as a maximal run of word
+      characters ([a-z0-9_]), so 'darn.', '(darn)' and 'darn-ish'
+      all flag for 'darn' (punctuation and hyphens are boundaries,
+      exactly as C4's regex treats them) while 'darned' and
+      'classroom' (for 'ass') do not;
+    - multi-word entries match with boundaries on both ends and
+      whitespace collapsed, so reflowed phrases still match.
 
-    Pure Catalyst: the token entries become one literal array probed
-    with ``arrays_overlap`` (hash-set lookup JVM-side) against the
-    doc's distinct lowercase tokens; phrase entries fold into
-    ``contains`` checks. Both stay inside the scan's projection — no
-    shuffle, no Python. List size is bounded by plan size (fine for
-    the published lists, ~2k entries); for million-entry lists use a
-    broadcast join on exploded tokens instead.
+    Pure Catalyst: single entries become one literal array probed with
+    ``arrays_overlap`` (hash-set lookup JVM-side) against the doc's
+    distinct word-character runs; phrase entries fold into boundary-
+    anchored ``rlike`` checks over the whitespace-collapsed text. Both
+    stay inside the scan's projection — no shuffle, no Python. List
+    size is bounded by plan size (fine for the published lists, ~2k
+    entries); for million-entry lists use a broadcast join on exploded
+    tokens instead.
     """
+    import re as _re
+
     words = [w.lower() for w in words]
     tokens = [w for w in words if not any(c.isspace() for c in w)]
     phrases = [w for w in words if any(c.isspace() for c in w)]
     low = F.lower(F.coalesce(F.col(col), F.lit("")))
     checks = []
     if tokens:
-        toks = F.array_distinct(F.split(F.trim(low), "[ \t\n\f\r]+"))
+        # maximal [a-z0-9_] runs == the \b-delimited words of the
+        # lowercased text (RE2-portable: a split, not a lookaround)
+        toks = F.array_distinct(F.split(low, "[^a-z0-9_]+"))
         checks.append(F.arrays_overlap(
             toks, F.array(*[F.lit(w) for w in tokens])))
-    for p in phrases:
-        checks.append(low.contains(p))
+    if phrases:
+        collapsed = F.regexp_replace(low, "[ \t\n\f\r]+", " ")
+        for p in phrases:
+            pat = (r"(^|[^a-z0-9_])"
+                   + _re.escape(" ".join(p.split()))
+                   + r"($|[^a-z0-9_])")
+            checks.append(collapsed.rlike(pat))
     flag = checks[0] if checks else F.lit(False)
     for c in checks[1:]:
         flag = flag | c

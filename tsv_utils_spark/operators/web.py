@@ -105,8 +105,18 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     would funnel every duplicate into one partition that AQE cannot
     split (skewed-partition splitting applies to joins/aggregations,
     not windows). Unparseable rows are routed around the shuffle.
+    NULL ids raise in-plan: ``min_by`` skips NULL ordering values, so
+    a NULL-id row could never survive and an all-NULL-id group would
+    emit a fabricated all-NULL row — assign surrogate ids first.
     """
-    tagged = df.withColumn("canonical_url", url_normalize(url_col))
+    checked = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(
+            f"url_dedup: NULL {id_col} — keep-first order is undefined "
+            f"for NULL ids; assign surrogate ids first"))
+    ).otherwise(F.col(id_col))
+    tagged = df.withColumn(id_col, checked) \
+               .withColumn("canonical_url", url_normalize(url_col))
     bad = tagged.where(F.col("canonical_url").isNull())
     good = tagged.where(F.col("canonical_url").isNotNull())
     cols = tagged.columns
