@@ -3023,6 +3023,40 @@ def q_dedup_token_windows(spark, sf_dir):
         d.select("doc_id", planted.alias("text")), window=12)
 
 
+@q("classifier_score_det", r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS t,
+         length(trim(coalesce(text, ''))) AS tl
+  FROM documents
+), gb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 13))::UBIGINT % 8192 AS BIGINT) AS b
+  FROM (SELECT doc_id, unnest(
+          t || [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+        ) AS g
+        FROM toks WHERE tl > 0)
+), nb AS (SELECT doc_id, b, count(*) AS n FROM gb GROUP BY 1, 2)
+SELECT d.doc_id, CAST(coalesce(s.score, 0) + 7 AS BIGINT) AS score
+FROM documents d LEFT JOIN (
+  SELECT doc_id, sum(n * ((b % 1000) - 500)) AS score
+  FROM nb GROUP BY 1
+) s USING (doc_id)
+""")
+def q_classifier_score_det(spark, sf_dir):
+    # fastText-style hashed linear classifier scoring with a
+    # deterministic integer weight table (w[b] = b%1000 - 500 micro-
+    # units, bias 7): the dot product is an exact int64 sum, so the
+    # oracle reproduces it bit-for-bit through the same md5 bucket
+    # hashing as DSIR (operators/importance.py)
+    _ensure_shipped(spark)
+    from tsv_utils_spark.operators.importance import hashed_ngram_score
+
+    d = _t(spark, sf_dir, "documents")
+    w = {b: (b % 1000) - 500 for b in range(8192)}
+    return hashed_ngram_score(d, w, bias=7)
+
+
 @q("corpus_quality_report", r"""
 WITH base AS (
   SELECT doc_id, lang, coalesce(text, '') AS c,
@@ -3122,7 +3156,7 @@ _FRONT_OF_BOARD = [
     "url_dedup", "url_host_stats", "url_domain_cap", "semdedup_planted",
     "jsonl_roundtrip", "text_chunk_documents", "text_bad_words",
     "near_dedup_select_exact", "corpus_quality_report",
-    "dedup_token_windows",
+    "dedup_token_windows", "classifier_score_det",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
@@ -3137,7 +3171,7 @@ _FRONT_OF_BOARD = [
     "join_append", "join_write_all", "join_bloom_semi", "join_bloom_anti",
     "join_salted", "uniq_first", "uniq_equiv", "uniq_number",
     "uniq_repeated", "sample_bernoulli_det", "sample_distinct_det",
-    "sample_topk_det", "sample_weighted_det", "gen_random_inorder_det",
+    "sample_topk_det", "sample_weighted_det",
     # (uniq_wholeline, unique_values_first_seen, filter_len,
     # sample_replacement_det stay r3-green on the back board —
     # displaced by the four round-5 additions; events_hourly,

@@ -1960,3 +1960,50 @@ class TestReviewRegressionsR5Late2:
         out = dedup_token_windows_global(spark.read.parquet(p), window=3)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan") == 1
+
+
+class TestHashedNgramScore:
+    def test_integer_weights_exact_vs_python(self, spark):
+        import hashlib
+
+        from tsv_utils_spark.operators.importance import hashed_ngram_score
+
+        B = 64
+        rows = [(0, "alpha beta gamma"), (1, "beta beta"), (2, ""),
+                (3, None)]
+        w = {b: (b % 7) - 3 for b in range(B)}
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:13], 16) % B
+
+        def score(text):
+            t = (text or "").strip().lower().split()
+            grams = ([] if not t else
+                     t + [" ".join(t[i:i + 2]) for i in range(len(t) - 1)])
+            return 10 + sum(w[bucket(g)] for g in grams)
+
+        out = {r["doc_id"]: r["score"] for r in
+               hashed_ngram_score(
+                   spark.createDataFrame(rows, ["doc_id", "text"]),
+                   w, buckets=B, bias=10).collect()}
+        for i, text in rows:
+            assert out[i] == score(text), (i, out[i], score(text))
+
+    def test_prob_is_sigmoid_and_empty_doc_scores_bias(self, spark):
+        import math
+
+        from tsv_utils_spark.operators.importance import hashed_ngram_score
+
+        df = spark.createDataFrame([(0, "")], ["doc_id", "text"])
+        r = hashed_ngram_score(df, {0: 1}, bias=2, prob=True).collect()[0]
+        assert r["score"] == 2
+        assert abs(r["prob"] - 1 / (1 + math.exp(-2.0))) < 1e-12
+
+    def test_weights_dataframe_input(self, spark):
+        from tsv_utils_spark.operators.importance import hashed_ngram_score
+
+        df = spark.createDataFrame([(0, "x y z")], ["doc_id", "text"])
+        wdf = spark.createDataFrame([(b, 1) for b in range(64)],
+                                    "bucket long, weight long")
+        r = hashed_ngram_score(df, wdf, buckets=64).collect()[0]
+        assert r["score"] == 5  # 3 unigrams + 2 bigrams, weight 1 each

@@ -138,3 +138,56 @@ def dsir_select(raw: DataFrame, target: DataFrame, content_col: str,
     s = dsir_scores(raw, target, content_col, id_col, **kwargs)
     return (s.orderBy(F.col("dsir_score").desc(), F.col(id_col).asc())
              .limit(k))
+
+
+def hashed_ngram_score(df: DataFrame, weights, content_col: str = "text",
+                       id_col: str = "doc_id",
+                       sizes: tuple[int, ...] = (1, 2),
+                       buckets: int = 8192, bias=0,
+                       prob: bool = False) -> DataFrame:
+    """Score documents with a LINEAR model over hashed n-gram counts —
+    the fastText-style quality-classifier shape that CCNet/LLaMA-class
+    pipelines run after the cheap rule filters. The model itself is
+    caller-supplied data: ``weights`` maps feature bucket -> weight,
+    either a dict or a DataFrame with columns (bucket, weight). The
+    featurizer is DSIR's (:func:`_gram_counts`): same tokenization,
+    same md5 bucket hashing, so a DSIR llr table and an externally
+    trained classifier score through one code path.
+
+    ``score = bias + sum_b count[b] * weight[b]``; with ``prob=True``
+    a ``sigmoid(score)`` column is appended (logistic output).
+    Documents with no grams score exactly ``bias``.
+
+    Determinism note: with INTEGER weights (e.g. micro-unit quantized,
+    as DSIR does) the dot product is an exact int64 sum — bit-stable
+    and oracle-checkable; float weights sum in partition order like
+    any float aggregate.
+
+    Scale shape: one scan + explode for the (id, bucket) counts
+    (map-side combined), the weight table broadcast, one groupBy(id)
+    — no skewed key can exist (buckets are hash-uniform).
+    """
+    spark = df.sparkSession
+    if isinstance(weights, dict):
+        items = sorted(weights.items())
+        int_w = all(isinstance(w, int) for _, w in items)
+        wt = "long" if int_w else "double"
+        weights = spark.createDataFrame(
+            [(int(b), w) for b, w in items],
+            schema=f"bucket long, weight {wt}")
+    wn = weights.select(F.col("bucket").alias("__b"),
+                        F.col("weight").alias("__w"))
+    counts = _gram_counts(df, content_col, id_col, sizes, buckets)
+    scored = (counts.join(F.broadcast(wn), "__b")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("__n") * F.col("__w")).alias("__s")))
+    out = (df.select(id_col).distinct()
+           .join(scored, id_col, "left")
+           .select(id_col,
+                   (F.coalesce(F.col("__s"), F.lit(0)) + F.lit(bias))
+                   .alias("score")))
+    if prob:
+        out = out.withColumn(
+            "prob", F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-F.col("score").cast("double"))))
+    return out
