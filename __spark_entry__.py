@@ -3176,8 +3176,10 @@ _FRONT_OF_BOARD = [
     # sample_replacement_det stay r3-green on the back board —
     # displaced by the four round-5 additions; events_hourly,
     # events_sessions, join_append_dup, tsv_roundtrip,
-    # csv2tsv_roundtrip, ngram_jaccard_pairs, uniq_ignore_case
-    # likewise displaced by the seven late round-5 additions)
+    # csv2tsv_roundtrip, ngram_jaccard_pairs, uniq_ignore_case,
+    # and later gen_random_inorder_det (displaced by
+    # classifier_score_det) likewise displaced by the fourteen late
+    # round-5 additions)
 ]
 
 

@@ -2007,3 +2007,31 @@ class TestHashedNgramScore:
                                     "bucket long, weight long")
         r = hashed_ngram_score(df, wdf, buckets=64).collect()[0]
         assert r["score"] == 5  # 3 unigrams + 2 bigrams, weight 1 each
+
+
+class TestHashedNgramScoreHardening:
+    def test_mixed_and_bool_weight_dicts_coerce(self, spark):
+        from tsv_utils_spark.operators.importance import hashed_ngram_score
+
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        # mixed int/float -> all-double; bool -> double (not a long)
+        r1 = hashed_ngram_score(df, {0: 1, 1: 0.5}, buckets=2).collect()
+        r2 = hashed_ngram_score(df, {0: True, 1: False},
+                                buckets=2).collect()
+        assert len(r1) == 1 and len(r2) == 1
+
+    def test_null_id_raises_in_plan(self, spark):
+        import pytest as _pytest
+
+        from tsv_utils_spark.operators.importance import (
+            dsir_scores,
+            hashed_ngram_score,
+        )
+
+        bad = spark.createDataFrame([(None, "spam spam")],
+                                    "doc_id long, text string")
+        with _pytest.raises(Exception, match="NULL doc_id"):
+            hashed_ngram_score(bad, {0: 1}, buckets=2).collect()
+        tgt = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
+        with _pytest.raises(Exception, match="NULL doc_id"):
+            dsir_scores(bad, tgt, "text", "doc_id").collect()

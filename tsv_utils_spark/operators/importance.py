@@ -80,6 +80,31 @@ def _gram_counts(df: DataFrame, content_col: str, id_col: str,
               .agg(F.count(F.lit(1)).alias("__n")))
 
 
+def _checked_id(id_col: str, op: str):
+    """In-plan NULL-id guard (family convention): a NULL id would fall
+    out of the non-null-safe score join and silently score the default
+    instead of its content."""
+    return F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(
+            f"{op}: NULL {id_col} — assign surrogate ids first"))
+    ).otherwise(F.col(id_col)).alias(id_col)
+
+
+def _score_counts(ids: DataFrame, counts: DataFrame, table: DataFrame,
+                  id_col: str, out_col: str, default) -> DataFrame:
+    """Shared scoring tail: per-(id,bucket) counts x broadcast weight
+    table -> one groupBy(id) dot product, restored over the full id set
+    with ``default`` for documents that produced no grams."""
+    scored = (counts.join(F.broadcast(table), "__b")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("__n") * F.col("__w")).alias("__s")))
+    return (ids.join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("__s"), F.lit(default))
+                     .alias(out_col)))
+
+
 def dsir_scores(raw: DataFrame, target: DataFrame, content_col: str,
                 id_col: str, sizes: tuple[int, ...] = (1, 2),
                 buckets: int = 8192,
@@ -92,6 +117,7 @@ def dsir_scores(raw: DataFrame, target: DataFrame, content_col: str,
     The per-bucket llr table is ``buckets`` rows and broadcast; corpus
     totals enter the plan as 1-row cross joins (no driver round trip),
     so the whole computation is one action."""
+    raw = raw.withColumn(id_col, _checked_id(id_col, "dsir_scores"))
     rn = _gram_counts(raw, content_col, id_col, sizes, buckets)
     rc = rn.groupBy("__b").agg(F.sum("__n").alias("__cr"))
     # the target needs only per-BUCKET totals — its exploded grams
@@ -117,16 +143,9 @@ def dsir_scores(raw: DataFrame, target: DataFrame, content_col: str,
            - F.log(F.col("__cr") + 1)
            + F.log(F.col("__totr") + buckets))
     table = cnts.select(
-        "__b", F.round(llr * scale).cast("long").alias("__llr"))
-    scores = (rn.join(F.broadcast(table), "__b")
-                .groupBy(id_col)
-                .agg(F.sum(F.col("__n") * F.col("__llr"))
-                      .alias("dsir_score")))
-    return (raw.select(id_col).distinct()
-               .join(scores, id_col, "left")
-               .select(id_col,
-                       F.coalesce("dsir_score", F.lit(0).cast("long"))
-                        .alias("dsir_score")))
+        "__b", F.round(llr * scale).cast("long").alias("__w"))
+    return _score_counts(raw.select(id_col).distinct(), rn, table,
+                         id_col, "dsir_score", F.lit(0).cast("long"))
 
 
 def dsir_select(raw: DataFrame, target: DataFrame, content_col: str,
@@ -170,22 +189,20 @@ def hashed_ngram_score(df: DataFrame, weights, content_col: str = "text",
     spark = df.sparkSession
     if isinstance(weights, dict):
         items = sorted(weights.items())
-        int_w = all(isinstance(w, int) for _, w in items)
-        wt = "long" if int_w else "double"
+        # type(w) is int: bools are not weights, and a MIXED int/float
+        # dict must coerce every value to float (createDataFrame's
+        # verifier exact-type-checks each row against the schema)
+        int_w = all(type(w) is int for _, w in items)
         weights = spark.createDataFrame(
-            [(int(b), w) for b, w in items],
-            schema=f"bucket long, weight {wt}")
+            [(int(b), w if int_w else float(w)) for b, w in items],
+            schema=f"bucket long, weight {'long' if int_w else 'double'}")
     wn = weights.select(F.col("bucket").alias("__b"),
                         F.col("weight").alias("__w"))
+    df = df.withColumn(id_col, _checked_id(id_col, "hashed_ngram_score"))
     counts = _gram_counts(df, content_col, id_col, sizes, buckets)
-    scored = (counts.join(F.broadcast(wn), "__b")
-              .groupBy(id_col)
-              .agg(F.sum(F.col("__n") * F.col("__w")).alias("__s")))
-    out = (df.select(id_col).distinct()
-           .join(scored, id_col, "left")
-           .select(id_col,
-                   (F.coalesce(F.col("__s"), F.lit(0)) + F.lit(bias))
-                   .alias("score")))
+    out = _score_counts(df.select(id_col).distinct(), counts, wn,
+                        id_col, "__raw", F.lit(0)) \
+        .select(id_col, (F.col("__raw") + F.lit(bias)).alias("score"))
     if prob:
         out = out.withColumn(
             "prob", F.lit(1.0)
