@@ -256,3 +256,55 @@ class TestAsofJoinProperties:
                 g = got["rid"].fillna(-1).astype("int64").tolist()
                 w = want["rid"].fillna(-1).astype("int64").tolist()
                 assert g == w, (direction, tol, seed)
+
+
+class TestWebCorpusInvariants:
+    """Batch property tests for the late round-5 family: hypothesis
+    generates the cases, ONE Spark job per property checks them all
+    (per-example Spark jobs would be prohibitively slow)."""
+
+    @given(st.lists(st.text(max_size=120), min_size=1, max_size=60))
+    @settings(max_examples=15, deadline=None)
+    def test_tokenizers_partition_text(self, spark, texts):
+        # both span-dedup tokenizers must PARTITION any input —
+        # concatenating the matches reproduces the text byte-exactly
+        # (the property that makes removal + reassembly lossless)
+        from pyspark.sql import functions as F
+
+        from tsv_utils_spark.operators.dedup import _SENT_PAT, _WORD_PAT
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, t string")
+        bad = df.select(
+            *[(F.array_join(
+                F.regexp_extract_all(F.coalesce("t", F.lit("")),
+                                     F.lit(p), F.lit(0)), "") !=
+               F.coalesce("t", F.lit(""))).alias(n)
+              for n, p in (("s", _SENT_PAT), ("w", _WORD_PAT))]) \
+            .where("s OR w").count()
+        assert bad == 0
+
+    @given(st.lists(st.text(
+        alphabet=st.sampled_from(list(
+            "abcXYZ09._-:/?#&=%@ \té")), max_size=60),
+        min_size=1, max_size=80))
+    @settings(max_examples=15, deadline=None)
+    def test_url_normalize_idempotent(self, spark, frags):
+        # canonical output must be a fixed point: re-normalizing any
+        # non-null canonical URL returns it unchanged
+        from pyspark.sql import functions as F
+
+        from tsv_utils_spark.operators.web import url_normalize
+
+        urls = [f"http://{f}" for f in frags] + \
+               [f"https://Host{i}.Example.com{f}" for i, f in
+                enumerate(frags)] + frags
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                   "i long, u string")
+        canon = df.select(url_normalize("u").alias("c")) \
+                  .where(F.col("c").isNotNull())
+        bad = canon.select(
+            (url_normalize(F.col("c")) != F.col("c")).alias("diff"),
+            "c", url_normalize(F.col("c")).alias("c2")) \
+            .where("diff").collect()
+        assert not bad, [(r["c"], r["c2"]) for r in bad[:5]]
