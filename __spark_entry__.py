@@ -3023,6 +3023,63 @@ def q_dedup_token_windows(spark, sf_dir):
         d.select("doc_id", planted.alias("text")), window=12)
 
 
+@q("hash_split_det", r"""
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+            / 4503599627370496.0 < 0.8 THEN 'train'
+       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+            / 4503599627370496.0 < (0.8 + 0.1) THEN 'val'
+       ELSE 'test' END AS split,
+  lang
+FROM documents
+""")
+def q_hash_split_det(spark, sf_dir):
+    # deterministic 80/10/10 train/val/test split by content hash
+    # (u = 52 md5 bits / 2^52, the repo's cross-engine uniform trick;
+    # cumulative bound 0.8+0.1 is the same IEEE sum on both engines) —
+    # stable under corpus growth, zero shuffle
+    from tsv_utils_spark.operators.split import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "split", "lang")
+
+
+@q("embedding_quantize", r"""
+WITH q AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+    embedding
+  FROM embeddings
+)
+SELECT vec_id, scale,
+  CAST(CASE WHEN scale = 0 THEN 0 ELSE coalesce(list_sum(
+    list_transform(embedding, x ->
+      CAST(sign(CAST(x AS DOUBLE) / scale)
+           * floor(abs(CAST(x AS DOUBLE) / scale) + 0.5) AS BIGINT))), 0)
+  END AS BIGINT) AS q_sum,
+  CAST(len(embedding) AS INTEGER) AS dim
+FROM q
+""")
+def q_embedding_quantize(spark, sf_dir):
+    # symmetric per-vector int8 quantization audit: scale (max|x|/127)
+    # and the exact integer sum of the quantized codes — explicit
+    # round-half-away arithmetic replayed bit-for-bit in DuckDB
+    from tsv_utils_spark.operators.vectors import quantize_int8
+
+    _ensure_shipped(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = emb.select("vec_id", quantize_int8("embedding").alias("__z"),
+                    F.size("embedding").alias("dim"))
+    return qz.select(
+        "vec_id", F.col("__z.scale").alias("scale"),
+        F.aggregate(F.col("__z.q"), F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.col("dim").cast("int").alias("dim"))
+
+
 @q("classifier_score_det", r"""
 WITH toks AS (
   SELECT doc_id,
@@ -3156,7 +3213,8 @@ _FRONT_OF_BOARD = [
     "url_dedup", "url_host_stats", "url_domain_cap", "semdedup_planted",
     "jsonl_roundtrip", "text_chunk_documents", "text_bad_words",
     "near_dedup_select_exact", "corpus_quality_report",
-    "dedup_token_windows", "classifier_score_det",
+    "dedup_token_windows", "classifier_score_det", "hash_split_det",
+    "embedding_quantize",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
@@ -3171,7 +3229,6 @@ _FRONT_OF_BOARD = [
     "join_append", "join_write_all", "join_bloom_semi", "join_bloom_anti",
     "join_salted", "uniq_first", "uniq_equiv", "uniq_number",
     "uniq_repeated", "sample_bernoulli_det", "sample_distinct_det",
-    "sample_topk_det", "sample_weighted_det",
     # (uniq_wholeline, unique_values_first_seen, filter_len,
     # sample_replacement_det stay r3-green on the back board —
     # displaced by the four round-5 additions; events_hourly,

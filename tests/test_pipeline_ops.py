@@ -2035,3 +2035,102 @@ class TestHashedNgramScoreHardening:
         tgt = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
         with _pytest.raises(Exception, match="NULL doc_id"):
             dsir_scores(bad, tgt, "text", "doc_id").collect()
+
+
+class TestHashSplit:
+    def test_fractions_and_determinism(self, spark):
+        from tsv_utils_spark.operators.split import hash_split
+
+        df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = hash_split(df, "doc_id", fr)
+        counts = {r["split"]: r["count"] for r in
+                  out.groupBy("split").count().collect()}
+        assert set(counts) == {"train", "val", "test"}
+        for name, frac in fr.items():
+            assert abs(counts[name] / 10_000 - frac) < 0.02
+        # determinism: re-running assigns identically
+        again = {r["doc_id"]: r["split"] for r in
+                 hash_split(df, "doc_id", fr).collect()}
+        first = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert first == again
+
+    def test_stability_under_new_rows(self, spark):
+        from tsv_utils_spark.operators.split import hash_split
+
+        fr = {"a": 0.5, "b": 0.5}
+        small = {r["doc_id"]: r["split"] for r in hash_split(
+            spark.range(100).withColumnRenamed("id", "doc_id"),
+            "doc_id", fr).collect()}
+        big = {r["doc_id"]: r["split"] for r in hash_split(
+            spark.range(200).withColumnRenamed("id", "doc_id"),
+            "doc_id", fr).collect()}
+        assert all(big[k] == v for k, v in small.items())
+
+    def test_validates_fractions_and_plan(self, spark):
+        import pytest as _pytest
+
+        from tsv_utils_spark.operators.split import hash_split
+
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        with _pytest.raises(ValueError, match="sum to 1"):
+            hash_split(df, "doc_id", {"a": 0.5, "b": 0.2})
+        plan = hash_split(df, "doc_id", {"a": 1.0}) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestVectorOps:
+    def test_l2_normalize_and_zero_vector(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from tsv_utils_spark.operators.vectors import l2_normalize
+
+        df = spark.createDataFrame(
+            [(0, [3.0, 4.0]), (1, [0.0, 0.0])],
+            "vec_id long, v array<float>")
+        out = {r["vec_id"]: r["n"] for r in
+               df.select("vec_id", l2_normalize("v").alias("n")).collect()}
+        assert out[0] == [0.6, 0.8]
+        assert out[1] == [0.0, 0.0]
+        assert abs(sum(x * x for x in out[0]) - 1.0) < 1e-12
+
+    def test_quantize_roundtrip_error_bound(self, spark):
+        from pyspark.sql import functions as F
+
+        from tsv_utils_spark.operators.vectors import (
+            quantization_error,
+            quantize_int8,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.select("vec_id", "embedding",
+                       quantize_int8("embedding").alias("qz"))
+        bad = q.select(
+            (quantization_error("embedding", F.col("qz"))
+             > F.col("qz.scale") / 2 + 1e-12).alias("over")) \
+            .where("over").count()
+        assert bad == 0
+        # codes actually fit int8
+        mx = q.select(F.array_max(F.transform(
+            F.col("qz.q"), lambda x: F.abs(x.cast("int")))).alias("m")) \
+            .agg(F.max("m")).first()[0]
+        assert mx <= 127
+
+    def test_zero_vector_quantizes_clean(self, spark):
+        from tsv_utils_spark.operators.vectors import (
+            dequantize_int8,
+            quantize_int8,
+        )
+
+        df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])],
+                                   "vec_id long, v array<float>")
+        r = df.select(quantize_int8("v").alias("qz"),
+                      dequantize_int8(quantize_int8("v")).alias("d")) \
+              .collect()[0]
+        assert r["qz"]["scale"] == 0.0
+        assert list(r["qz"]["q"]) == [0, 0, 0]
+        assert r["d"] == [0.0, 0.0, 0.0]

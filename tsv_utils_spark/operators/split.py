@@ -46,3 +46,39 @@ def write_split(df: DataFrame, path: str, n: int | None = None,
     assert n is not None
     out = split_by_key(df, n, keys, seed) if keys else split_random(df, n, seed)
     out.write.partitionBy("bucket").parquet(path)
+
+
+def hash_split(df: DataFrame, key_cols, fractions: dict,
+               split_col: str = "split") -> DataFrame:
+    """Deterministic fractional split (train/val/test) by content hash
+    — every engine and every run assigns the same row to the same
+    split, and adding rows never reassigns existing ones (the property
+    random splits lack). ``fractions`` maps name -> fraction; must sum
+    to 1 (+-1e-9). Assignment: u = first 52 md5 bits of the key / 2^52
+    (a power-of-two division of an exactly-representable integer —
+    bit-identical across engines, the repo's standard uniform trick),
+    then the half-open cumulative interval [c_i, c_{i+1}) picks the
+    split, names in insertion order.
+
+    Returns the input plus ``split_col``. Pure projection — no
+    shuffle; at any scale the split is a free column on the scan.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                for c in key_cols])
+    u = (F.conv(F.substring(F.md5(key), 1, 13), 16, 10)
+         .cast("double") / F.lit(4503599627370496.0))
+    names = list(fractions)
+    cum = 0.0
+    expr = F.lit(names[-1])  # the last split takes the tail incl. u=1
+    bounds = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bounds.append((name, cum))
+    for name, b in reversed(bounds):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
