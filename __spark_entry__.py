@@ -3069,7 +3069,6 @@ def q_embedding_quantize(spark, sf_dir):
     # round-half-away arithmetic replayed bit-for-bit in DuckDB
     from tsv_utils_spark.operators.vectors import quantize_int8
 
-    _ensure_shipped(spark)
     emb = _t(spark, sf_dir, "embeddings")
     qz = emb.select("vec_id", quantize_int8("embedding").alias("__z"),
                     F.size("embedding").alias("dim"))
@@ -3234,9 +3233,10 @@ _FRONT_OF_BOARD = [
     # displaced by the four round-5 additions; events_hourly,
     # events_sessions, join_append_dup, tsv_roundtrip,
     # csv2tsv_roundtrip, ngram_jaccard_pairs, uniq_ignore_case,
-    # and later gen_random_inorder_det (displaced by
-    # classifier_score_det) likewise displaced by the fourteen late
-    # round-5 additions)
+    # and later gen_random_inorder_det, sample_topk_det,
+    # sample_weighted_det (displaced by classifier_score_det,
+    # hash_split_det, embedding_quantize) likewise displaced by the
+    # sixteen late round-5 additions)
 ]
 
 

@@ -2105,8 +2105,9 @@ class TestVectorOps:
             quantize_int8,
         )
 
-        emb = spark.read.parquet(
-            "/root/testdata/sf0.001/embeddings.parquet")
+        from conftest import SF_DIR
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         q = emb.select("vec_id", "embedding",
                        quantize_int8("embedding").alias("qz"))
         bad = q.select(
@@ -2134,3 +2135,24 @@ class TestVectorOps:
         assert r["qz"]["scale"] == 0.0
         assert list(r["qz"]["q"]) == [0, 0, 0]
         assert r["d"] == [0.0, 0.0, 0.0]
+
+
+class TestHashSplitHardening:
+    def test_null_key_raises_in_plan(self, spark):
+        import pytest as _pytest
+
+        from tsv_utils_spark.operators.split import hash_split
+
+        df = spark.createDataFrame([(None,), (1,)], "doc_id long")
+        with _pytest.raises(Exception, match="NULL in key"):
+            hash_split(df, "doc_id", {"a": 1.0}).collect()
+
+    def test_nonpositive_fraction_raises(self, spark):
+        import pytest as _pytest
+
+        from tsv_utils_spark.operators.split import hash_split
+
+        df = spark.range(3).withColumnRenamed("id", "doc_id")
+        with _pytest.raises(ValueError, match="> 0"):
+            hash_split(df, "doc_id",
+                       {"train": 0.9, "test": 0.2, "val": -0.1})

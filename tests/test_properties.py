@@ -259,9 +259,10 @@ class TestAsofJoinProperties:
 
 
 class TestWebCorpusInvariants:
-    """Batch property tests for the late round-5 family: hypothesis
-    generates the cases, ONE Spark job per property checks them all
-    (per-example Spark jobs would be prohibitively slow)."""
+    """Property tests for the late round-5 family. Each hypothesis
+    example batches its generated strings into ONE DataFrame (so an
+    example costs one job, not one job per string); max_examples is
+    kept small because each example still launches Spark jobs."""
 
     @given(st.lists(st.text(max_size=120), min_size=1, max_size=60))
     @settings(max_examples=15, deadline=None)
@@ -304,7 +305,7 @@ class TestWebCorpusInvariants:
         canon = df.select(url_normalize("u").alias("c")) \
                   .where(F.col("c").isNotNull())
         bad = canon.select(
-            (url_normalize(F.col("c")) != F.col("c")).alias("diff"),
+            (~url_normalize(F.col("c")).eqNullSafe(F.col("c"))).alias("diff"),
             "c", url_normalize(F.col("c")).alias("c2")) \
             .where("diff").collect()
         assert not bad, [(r["c"], r["c2"]) for r in bad[:5]]

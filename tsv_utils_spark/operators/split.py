@@ -68,6 +68,9 @@ def hash_split(df: DataFrame, key_cols, fractions: dict,
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
+    bad = {n: f for n, f in fractions.items() if not f > 0}
+    if bad:
+        raise ValueError(f"fractions must be > 0, got {bad}")
     key = F.concat_ws("\x1f", *[F.col(c).cast("string")
                                 for c in key_cols])
     u = (F.conv(F.substring(F.md5(key), 1, 13), 16, 10)
@@ -81,4 +84,14 @@ def hash_split(df: DataFrame, key_cols, fractions: dict,
         bounds.append((name, cum))
     for name, b in reversed(bounds):
         expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
-    return df.withColumn(split_col, expr)
+    # NULL keys raise in-plan (family convention) — the guard wraps the
+    # WHOLE assignment (not the key expression: a single-fraction split
+    # never evaluates the key, and concat_ws would otherwise silently
+    # hash NULLs as "" and collide distinct multi-column keys)
+    null_any = F.lit(False)
+    for c in key_cols:
+        null_any = null_any | F.col(c).isNull()
+    guarded = F.when(null_any, F.raise_error(F.lit(
+        f"hash_split: NULL in key {key_cols} — assign surrogate keys "
+        f"first"))).otherwise(expr)
+    return df.withColumn(split_col, guarded)
