@@ -3023,6 +3023,61 @@ def q_dedup_token_windows(spark, sf_dir):
         d.select("doc_id", planted.alias("text")), window=12)
 
 
+@q("html_extract_text", r"""
+WITH docs AS (
+  SELECT doc_id,
+    '<html><head><style>p{color:red}</style><script>var j="<p>bad</p>";</script></head><body>'
+    || CASE WHEN doc_id % 3 = 0 THEN '<h1>Title ' || doc_id || '</h1>' ELSE '' END
+    || '<p>' || coalesce(text, '') || '</p>'
+    || CASE WHEN doc_id % 4 = 1 THEN '<ul><li>one&nbsp;item</li><li>R&amp;D &lt;ok&gt;</li></ul>' ELSE '' END
+    || '<!-- c --><br></body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+ regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+   replace(replace(replace(replace(replace(replace(replace(
+     regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       coalesce(html, ''),
+       '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+       '(?s)<!--.*?-->', ' ', 'g'),
+       '(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)>', chr(10), 'g'),
+       '(?i)<br\b[^>]*>', chr(10), 'g'),
+       '<[^>]+>', ' ', 'g'),
+     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+     '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+   '[ '||chr(9)||chr(12)||chr(13)||']+', ' ', 'g'),
+   ' ?'||chr(10)||' ?', chr(10), 'g'),
+   chr(10)||'{3,}', chr(10)||chr(10), 'g'),
+   '^[ '||chr(10)||']+|[ '||chr(10)||']+$', '', 'g') AS text
+FROM docs
+""")
+def q_html_extract_text(spark, sf_dir):
+    # WET-style HTML -> text extraction (the step before every text
+    # operator): planted pages wrap documents in script/style/comment
+    # chrome, headers, lists, breaks and entities (incl. the &amp;lt;
+    # double-escape); the oracle replays the exact stage list from
+    # web._HTML_STRIP_STAGES/_HTML_ENTITIES — byte-exact output
+    from tsv_utils_spark.operators.web import html_to_text
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style>'
+              '<script>var j="<p>bad</p>";</script></head><body>'),
+        F.when(i % 3 == 0, F.concat(F.lit("<h1>Title "),
+                                    i.cast("string"), F.lit("</h1>")))
+         .otherwise(F.lit("")),
+        F.lit("<p>"), F.coalesce(F.col("text"), F.lit("")), F.lit("</p>"),
+        F.when(i % 4 == 1,
+               F.lit("<ul><li>one&nbsp;item</li>"
+                     "<li>R&amp;D &lt;ok&gt;</li></ul>"))
+         .otherwise(F.lit("")),
+        F.lit("<!-- c --><br></body></html>"))
+    return d.select("doc_id", html.alias("html")) \
+            .select("doc_id", html_to_text("html").alias("text"))
+
+
 @q("hash_split_det", r"""
 SELECT doc_id,
   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
@@ -3213,7 +3268,7 @@ _FRONT_OF_BOARD = [
     "jsonl_roundtrip", "text_chunk_documents", "text_bad_words",
     "near_dedup_select_exact", "corpus_quality_report",
     "dedup_token_windows", "classifier_score_det", "hash_split_det",
-    "embedding_quantize",
+    "embedding_quantize", "html_extract_text",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
@@ -3227,16 +3282,17 @@ _FRONT_OF_BOARD = [
     "filter_field_vs_field", "filter_string_ops", "join_semi", "join_anti",
     "join_append", "join_write_all", "join_bloom_semi", "join_bloom_anti",
     "join_salted", "uniq_first", "uniq_equiv", "uniq_number",
-    "uniq_repeated", "sample_bernoulli_det", "sample_distinct_det",
+    "uniq_repeated", "sample_bernoulli_det",
     # (uniq_wholeline, unique_values_first_seen, filter_len,
     # sample_replacement_det stay r3-green on the back board —
     # displaced by the four round-5 additions; events_hourly,
     # events_sessions, join_append_dup, tsv_roundtrip,
     # csv2tsv_roundtrip, ngram_jaccard_pairs, uniq_ignore_case,
     # and later gen_random_inorder_det, sample_topk_det,
-    # sample_weighted_det (displaced by classifier_score_det,
-    # hash_split_det, embedding_quantize) likewise displaced by the
-    # sixteen late round-5 additions)
+    # sample_weighted_det, sample_distinct_det (displaced by
+    # classifier_score_det, hash_split_det, embedding_quantize,
+    # html_extract_text) likewise displaced by the seventeen late
+    # round-5 additions)
 ]
 
 

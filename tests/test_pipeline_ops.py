@@ -2156,3 +2156,51 @@ class TestHashSplitHardening:
         with _pytest.raises(ValueError, match="> 0"):
             hash_split(df, "doc_id",
                        {"train": 0.9, "test": 0.2, "val": -0.1})
+
+
+class TestHtmlToText:
+    def _x(self, spark, html):
+        from tsv_utils_spark.operators.web import html_to_text
+
+        df = spark.createDataFrame([(0, html)], ["doc_id", "html"])
+        return df.select(html_to_text("html").alias("t")).collect()[0]["t"]
+
+    def test_scripts_styles_comments_removed_whole(self, spark):
+        out = self._x(spark,
+                      "<script>var a = '<p>sneaky</p>';</script>"
+                      "<style>p { color: red }</style>"
+                      "<!-- secret -->visible text here.")
+        assert out == "visible text here."
+
+    def test_block_structure_and_entities(self, spark):
+        out = self._x(spark,
+                      "<p>R&amp;D &lt;ok&gt;</p><p>two&nbsp;words</p>")
+        assert out == "R&D <ok>\ntwo words"
+
+    def test_double_escaped_entity_stays_escaped(self, spark):
+        # &amp;lt; means the PAGE displayed '&lt;' — decoding &amp; last
+        # preserves that, matching browser semantics
+        assert self._x(spark, "a &amp;lt; b") == "a &lt; b"
+
+    def test_null_and_plain_text(self, spark):
+        from tsv_utils_spark.operators.web import html_to_text
+
+        df = spark.createDataFrame([(0, None), (1, "no markup !")],
+                                   "doc_id long, html string")
+        got = {r["doc_id"]: r["t"] for r in
+               df.select("doc_id",
+                         html_to_text("html").alias("t")).collect()}
+        assert got == {0: "", 1: "no markup !"}
+
+    def test_whitespace_collapse(self, spark):
+        out = self._x(spark, "<p>a</p>\n\n\n\n<p>b   c</p>")
+        assert out == "a\n\nb c"
+
+    def test_pure_catalyst(self, spark):
+        from tsv_utils_spark.operators.web import html_to_text
+
+        df = spark.createDataFrame([(0, "<p>x</p>")],
+                                   "doc_id long, html string")
+        plan = df.select(html_to_text("html")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan

@@ -186,3 +186,60 @@ def domain_cap(df: DataFrame, max_per_host: int, url_col: str = "url",
     kept = (local.withColumn("__rn", F.row_number().over(gw))
             .where(F.col("__rn") <= max_per_host).drop("__rn"))
     return kept.unionByName(bad)
+
+
+# HTML -> text extraction stages, applied IN ORDER. All RE2-portable
+# (non-greedy quantifiers + (?is) flags, no lookaround) so the DuckDB
+# oracle replays them verbatim. Kept as data so html_to_text and the
+# oracle generator can never drift.
+_HTML_STRIP_STAGES = (
+    # invisible containers go first, whole-element (dotall)
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level closes + explicit breaks become newlines so paragraph
+    # structure survives for the downstream line/paragraph operators
+    (r"(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|"
+     r"article|header|footer)>", "\n"),
+    (r"(?i)<br\b[^>]*>", "\n"),
+    # every remaining tag collapses to a space
+    (r"<[^>]+>", " "),
+)
+
+# the named entities that dominate real pages; numeric entities beyond
+# these pass through untouched (full decode needs a table, not a regex)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+)
+
+
+def html_to_text(col: str | Column) -> Column:
+    """Plain text of an HTML page — the WET-style extraction step that
+    feeds every downstream text operator (c4/gopher quality, dedup,
+    chunking). One Catalyst projection:
+
+    - ``<script>``/``<style>`` elements and comments removed whole;
+    - block-element closes and ``<br>`` become newlines (paragraph
+      structure survives for the line/paragraph operators);
+    - remaining tags collapse to spaces; common named entities decode
+      (``&amp;`` LAST, so ``&amp;lt;`` correctly yields ``&lt;`` — the
+      double-escape stays escaped, matching browser semantics);
+    - horizontal whitespace runs collapse to one space, blank-line
+      runs to one blank line, leading/trailing whitespace trimmed.
+
+    Regex-based extraction is the honest 80% of trafilatura-class
+    tooling (no DOM, no boilerplate classifier) — pair with
+    :func:`tsv_utils_spark.operators.text.remove_boilerplate_lines`
+    for chrome removal. NULL input yields empty text.
+    """
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col,
+                   F.lit(""))
+    for pat, rep in _HTML_STRIP_STAGES:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t\f\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.regexp_replace(c, r"^[ \n]+|[ \n]+$", "")
