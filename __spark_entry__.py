@@ -3023,6 +3023,56 @@ def q_dedup_token_windows(spark, sf_dir):
         d.select("doc_id", planted.alias("text")), window=12)
 
 
+@q("dedup_rate_by_source", r"""
+WITH d AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 5 = 0 THEN 'cloned body ' || (doc_id % 23)
+         ELSE coalesce(text,'') END AS t
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, md5(t) AS fp FROM d
+), surv AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source, min(doc_id) OVER (PARTITION BY fp) AS m
+    FROM keyed) WHERE doc_id = m
+)
+SELECT k.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) - coalesce(s.n_kept, 0) AS BIGINT) AS n_removed,
+  CAST(count(*) - coalesce(s.n_kept, 0) AS DOUBLE) / count(*)
+    AS dup_rate
+FROM keyed k LEFT JOIN (
+  SELECT source, count(*) AS n_kept FROM surv GROUP BY source) s
+  USING (source)
+GROUP BY k.source, s.n_kept
+""")
+def q_dedup_rate_by_source(spark, sf_dir):
+    # corpus-intake dedup report: per-source doc counts, removed-row
+    # counts and dup rate after exact keep-first dedup — pure
+    # composition of verified operators (exact_dedup + one aggregate);
+    # planted clone cliques (1-in-5 docs share one of 23 bodies) give
+    # real rates, the oracle replays keep-min-per-fingerprint
+    from tsv_utils_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    t = F.when(i % 5 == 0,
+               F.concat(F.lit("cloned body "), (i % 23).cast("string"))) \
+         .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    corpus = d.select("doc_id", "source", t.alias("text"))
+    kept = exact_dedup(corpus, "text", "doc_id", keep="first") \
+        .groupBy("source").agg(F.count(F.lit(1)).alias("__kept"))
+    totals = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    return (totals.join(kept, "source", "left")
+            .select("source", "n_docs",
+                    (F.col("n_docs") - F.coalesce("__kept", F.lit(0)))
+                    .alias("n_removed"),
+                    ((F.col("n_docs") - F.coalesce("__kept", F.lit(0)))
+                     .cast("double") / F.col("n_docs").cast("double"))
+                    .alias("dup_rate")))
+
+
 @q("html_extract_text", r"""
 WITH docs AS (
   SELECT doc_id,
@@ -3268,7 +3318,7 @@ _FRONT_OF_BOARD = [
     "jsonl_roundtrip", "text_chunk_documents", "text_bad_words",
     "near_dedup_select_exact", "corpus_quality_report",
     "dedup_token_windows", "classifier_score_det", "hash_split_det",
-    "embedding_quantize", "html_extract_text",
+    "embedding_quantize", "html_extract_text", "dedup_rate_by_source",
     # r1-dated:
     "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
     "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
@@ -3276,13 +3326,14 @@ _FRONT_OF_BOARD = [
     "split_bucket_det", "select_project", "append_union", "number_lines",
     "values_ordered", "hll_unique_count", "cm_mode",
     # r3-dated (summarize_retain, format_number, filter_empty_blank,
-    # filter_numeric_classes, sample_token_budget displaced by
-    # jsonl_roundtrip, text_chunk_documents, text_bad_words,
-    # near_dedup_select_exact, corpus_quality_report):
+    # filter_numeric_classes, sample_token_budget, sample_bernoulli_det
+    # displaced by jsonl_roundtrip, text_chunk_documents,
+    # text_bad_words, near_dedup_select_exact, corpus_quality_report,
+    # dedup_rate_by_source):
     "filter_field_vs_field", "filter_string_ops", "join_semi", "join_anti",
     "join_append", "join_write_all", "join_bloom_semi", "join_bloom_anti",
     "join_salted", "uniq_first", "uniq_equiv", "uniq_number",
-    "uniq_repeated", "sample_bernoulli_det",
+    "uniq_repeated",
     # (uniq_wholeline, unique_values_first_seen, filter_len,
     # sample_replacement_det stay r3-green on the back board —
     # displaced by the four round-5 additions; events_hourly,
