@@ -45,15 +45,25 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 exclude_self: bool = True) -> DataFrame:
     """Exact brute-force cosine top-k. Queries are broadcast (small side);
     the corpus scan streams once through codegen'd dot products."""
+    from tsv_utils_spark.functions.parallel import ensure_min_parallelism
+
+    # norms are per-vector: compute them ONCE per row in the projections
+    # below the join instead of per (query, corpus) pair — q x fewer norm
+    # folds, identical doubles (same expression, same data). The corpus
+    # scan is also re-parallelized when starved (single-row-group
+    # parquet): the dot-product projection is the whole cost here.
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv"))
+                       F.col(vec_col).alias("__qv")) \
+        .withColumn("__qn", _norm(F.col("__qv")))
+    c = ensure_min_parallelism(corpus) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cv")) \
+        .withColumn("__cn", _norm(F.col("__cv")))
     j = c.crossJoin(F.broadcast(q))
     if exclude_self:
         j = j.where(F.col("neighbor_id") != F.col("query_id"))
     cos = (_dot(F.col("__qv"), F.col("__cv")) /
-           (_norm(F.col("__qv")) * _norm(F.col("__cv")))).alias("score")
+           (F.col("__qn") * F.col("__cn"))).alias("score")
     scored = j.select("query_id", "neighbor_id", cos)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
