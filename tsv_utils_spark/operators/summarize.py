@@ -168,7 +168,8 @@ def summarize(df: DataFrame,
               ops: list[Op],
               missing: MissingPolicy = MissingPolicy(),
               order_col: str | None = None,
-              strict_numeric: bool = False) -> DataFrame:
+              strict_numeric: bool = False,
+              quantile_algo: str = "auto") -> DataFrame:
     """Grouped (or whole-table) aggregation with tsv-summarize semantics.
 
     ``group_by=None/[]`` = whole-table summary (NoKeySummarizer,
@@ -182,6 +183,13 @@ def summarize(df: DataFrame,
     ``strict_numeric=True`` restores the reference's abort-on-non-numeric
     behavior (tsv-summarize.d:649-659) — default is Spark's lazy
     cast-to-null.
+
+    ``quantile_algo``: 'auto' (default) routes median/quantile ops of
+    LARGE inputs through the distributed-selection engine
+    (plans/quantiles.py — 3 narrow aggregation passes, bit-identical to
+    ``F.percentile``, no per-group value maps); small inputs stay on the
+    lazy single-pass ``F.percentile``. 'percentile' / 'selection' force a
+    path (selection still falls back on NaN/±inf/group explosion).
     """
     group_by = list(group_by or [])
     if order_col is None and any(op.kind in ("first", "last", "values")
@@ -217,34 +225,46 @@ def summarize(df: DataFrame,
         # of tsv-summarize.d:2038-2105, Spark edition).
         pct_ops = [op for op in simple if op.kind in ("median", "quantile")]
         rest = [op for op in simple if op.kind not in ("median", "quantile")]
-        aggs: list[Column] = []
-        post_select: list[tuple[str, Column]] = []  # (alias, expr over agg out)
         by_col: dict[str, list[Op]] = {}
         for op in pct_ops:
             by_col.setdefault(op.col, []).append(op)
+        col_probs: dict[str, list[float]] = {}
         for col_name, col_ops in by_col.items():
             probs: list[float] = []
             for op in col_ops:
                 probs.extend([0.5] if op.kind == "median"
                              else list(op.params["probs"]))
-            uniq_probs = sorted(set(probs))
-            num = missing.apply(F.col(col_name)).try_cast("double")
-            tmp = f"__pct_{col_name}"
-            aggs.append(F.percentile(
-                num, F.array(*[F.lit(p) for p in uniq_probs])).alias(tmp))
-            pos = {p: i for i, p in enumerate(uniq_probs)}
-            for op in col_ops:
-                op_probs = [0.5] if op.kind == "median" else list(op.params["probs"])
-                for p, name in zip(op_probs, _out_names(op)):
-                    post_select.append((name, F.col(tmp).getItem(pos[p])))
+            col_probs[col_name] = sorted(set(probs))
+        sel_df = _try_selection_quantiles(df, group_by, by_col, col_probs,
+                                          missing, quantile_algo) \
+            if pct_ops else None
+        aggs: list[Column] = []
+        post_select: list[tuple[str, Column]] = []  # (alias, expr over agg out)
+        if sel_df is None:
+            for col_name, col_ops in by_col.items():
+                uniq_probs = col_probs[col_name]
+                num = missing.apply(F.col(col_name)).try_cast("double")
+                tmp = f"__pct_{col_name}"
+                aggs.append(F.percentile(
+                    num, F.array(*[F.lit(p) for p in uniq_probs])).alias(tmp))
+                pos = {p: i for i, p in enumerate(uniq_probs)}
+                for op in col_ops:
+                    op_probs = [0.5] if op.kind == "median" \
+                        else list(op.params["probs"])
+                    for p, name in zip(op_probs, _out_names(op)):
+                        post_select.append((name, F.col(tmp).getItem(pos[p])))
         for op in rest:
             aggs.extend(_simple_agg(op, missing, order_col))
-        agged = _agg(df, group_by, aggs)
-        if post_select:
-            keep = [c for c in agged.columns if not c.startswith("__pct_")]
-            agged = agged.select(
-                *keep, *[e.alias(n) for n, e in post_select])
-        results.append(agged)
+        if aggs:
+            agged = _agg(df, group_by, aggs)
+            if post_select:
+                keep = [c for c in agged.columns
+                        if not c.startswith("__pct_")]
+                agged = agged.select(
+                    *keep, *[e.alias(n) for n, e in post_select])
+            results.append(agged)
+        if sel_df is not None:
+            results.append(sel_df)
     for op in mode_ops:
         results.append(_mode_agg(df, group_by, op, missing, order_col))
     if mad_ops:
@@ -347,6 +367,48 @@ def _simple_agg(op: Op, missing: MissingPolicy, order_col: str | None) -> list[C
             return [F.array_join(firsts, delim).alias(name)]
         return [F.array_join(F.array_sort(F.collect_set(src)), delim).alias(name)]
     raise AssertionError(op.kind)
+
+
+def _try_selection_quantiles(df: DataFrame, group_by: list[str],
+                             by_col: dict, col_probs: dict,
+                             missing: MissingPolicy,
+                             algo: str) -> DataFrame | None:
+    """Route median/quantile ops through plans/quantiles.py when the
+    input is large enough to amortize its three narrow passes; returns
+    None to keep the lazy F.percentile path (small input, NaN/±inf data,
+    group explosion — the two paths are bit-identical either way)."""
+    if algo == "percentile":
+        return None
+    if algo not in ("auto", "selection"):
+        raise ValueError(f"bad quantile_algo {algo!r}")
+    from tsv_utils_spark.plans.quantiles import (
+        MIN_INPUT_BYTES,
+        input_size_bytes,
+        selection_quantiles,
+    )
+
+    if algo == "auto":
+        sz = input_size_bytes(df)
+        if sz is None or sz < MIN_INPUT_BYTES:
+            return None
+    cols = list(by_col)
+    value_cols = [missing.apply(F.col(c)).try_cast("double") for c in cols]
+    probs_per_col = [col_probs[c] for c in cols]
+    tmp_names = [[f"__q_{i}_{j}" for j in range(len(col_probs[c]))]
+                 for i, c in enumerate(cols)]
+    sel = selection_quantiles(df, group_by, value_cols, probs_per_col,
+                              tmp_names)
+    if sel is None:
+        return None
+    exprs = []
+    for i, c in enumerate(cols):
+        pos = {p: j for j, p in enumerate(col_probs[c])}
+        for op in by_col[c]:
+            op_probs = [0.5] if op.kind == "median" \
+                else list(op.params["probs"])
+            for p, name in zip(op_probs, _out_names(op)):
+                exprs.append(F.col(f"__q_{i}_{pos[p]}").alias(name))
+    return sel.select(*group_by, *exprs)
 
 
 def _mode_agg(df: DataFrame, group_by: list[str], op: Op,
