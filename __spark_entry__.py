@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
@@ -1221,28 +1222,49 @@ def q_cm_mode(spark, sf_dir):
 
 
 def _rank_validated(li, key, value_col, est_df, probs, out_prefix, eps_of):
-    """Self-validating sketch-quantile row: melt estimates to
-    (key, q, est), compute each estimate's EXACT normalized rank over
-    the data, and emit a within-rank-eps flag — so the driver row itself
-    evidences the published error bound (no SQL oracle can replay a
-    sketch, but the bound check is exact and must be all-true)."""
-    structs = [F.struct(F.lit(q).alias("q"),
-                        F.col(f"{out_prefix}_q{f'{q:g}'.replace('.', '_')}")
-                         .alias("est")) for q in probs]
-    melted = est_df.select(key, F.explode(F.array(*structs)).alias("s")) \
-                   .select(key, F.col("s.q").alias("q"),
-                           F.col("s.est").alias("est"))
-    joined = li.select(key, value_col).join(F.broadcast(melted), key)
+    """Self-validating sketch-quantile row: for each (group, q) estimate,
+    compute its EXACT normalized rank over the data and emit a
+    within-rank-eps flag — so the driver row itself evidences the
+    published error bound (no SQL oracle can replay a sketch, but the
+    bound check is exact and must be all-true).
+
+    r6 restructure (guide §2.3): the estimate table is tiny (one row per
+    group), so collect it and fold every rank check into ONE conditional
+    aggregation over the data — replacing the broadcast-join that
+    multiplied the scan len(probs)-fold before aggregating. The avg of
+    0/1 doubles is an exact integer sum over an exact count, so the
+    result is bit-identical to the joined formulation."""
+    est_rows = est_df.collect()
+    cells = []  # (group_key_value, q, est)
+    for r in est_rows:
+        for q in probs:
+            cells.append((r[key],
+                          r[f"{out_prefix}_q{f'{q:g}'.replace('.', '_')}"], q))
+    aggs = []
+    for i, (g, est, _q) in enumerate(cells):
+        v = F.col(value_col)
+        aggs.append(F.avg(F.when(F.col(key).eqNullSafe(F.lit(g)),
+                                 (v <= F.lit(est)).cast("double")))
+                     .alias(f"le_{i}"))
+        aggs.append(F.avg(F.when(F.col(key).eqNullSafe(F.lit(g)),
+                                 (v < F.lit(est)).cast("double")))
+                     .alias(f"lt_{i}"))
+    flat = li.select(key, value_col).agg(*aggs).collect()[0]
+    spark = li.sparkSession
+    key_field = li.schema[key]
+    schema = T.StructType([key_field,
+                           T.StructField("q", T.DoubleType(), False),
+                           T.StructField("est", T.DoubleType()),
+                           T.StructField("rank_le", T.DoubleType()),
+                           T.StructField("rank_lt", T.DoubleType())])
+    rows = [(g, q, est, flat[f"le_{i}"], flat[f"lt_{i}"])
+            for i, (g, est, q) in enumerate(cells)]
+    ranks = spark.createDataFrame(rows, schema)
     # DISCRETE-safe criterion: with atom-valued data (l_quantity has ~50
     # distinct values, ~2% rank mass each) the exact rank of the correct
     # atom can sit a whole atom-width from q — so require q to lie in
     # [rank(< est) - eps, rank(<= est) + eps], which collapses to
     # |rank - q| <= eps for continuous data
-    ranks = joined.groupBy(key, "q", "est").agg(
-        F.avg((F.col(value_col) <= F.col("est")).cast("double"))
-         .alias("rank_le"),
-        F.avg((F.col(value_col) < F.col("est")).cast("double"))
-         .alias("rank_lt"))
     eps = eps_of(F.col("q"))
     return ranks.select(
         key, "q", F.round("est", 4).alias("est"),

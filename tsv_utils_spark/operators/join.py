@@ -147,8 +147,12 @@ def build_bloom(filter_df: DataFrame, keys: list[str], fpr: float = 0.001,
     fpr=1e-3), never partitions x blob. A driver-side loop over P
     partials would pull P x 180MB — the quiet scale-killer this avoids.
     """
-    key_col = _composite(keys)
-    keyed = filter_df.select(key_col.alias("__k"))
+    # keys are hashed JVM-side (xxhash64 of the canonical string
+    # composite, identical expression on build and probe side — no false
+    # negatives) so only one int64 per row crosses the Arrow boundary
+    # (guide §4.1: control what crosses; r6 change — the object-dtype
+    # string path hashed every key in Python)
+    keyed = filter_df.select(F.xxhash64(_composite(keys)).alias("__h"))
     n = capacity or keyed.count()
     m = int(math.ceil(-max(n, 1) * math.log(fpr) / (math.log(2) ** 2)))
     k = max(1, round(m / max(n, 1) * math.log(2)))
@@ -156,7 +160,7 @@ def build_bloom(filter_df: DataFrame, keys: list[str], fpr: float = 0.001,
     def partial(iterator):
         bf = BloomFilter(m=m, k=k)
         for pdf in iterator:
-            bf.update(pdf["__k"].to_numpy(dtype=object))
+            bf.update_hashes(pdf["__h"].to_numpy())
         yield pd.DataFrame({"blob": [bf.serialize()]})
 
     blobs = keyed.mapInPandas(partial, schema="blob binary")
@@ -191,9 +195,12 @@ def _bloom_prefilter(data: DataFrame, keys: list[str], bf: BloomFilter,
     @pandas_udf("boolean")
     def bloom_contains(s: pd.Series) -> pd.Series:
         b = BloomFilter.deserialize(blob.value)
-        return pd.Series(b.contains(s.to_numpy(dtype=object)))
+        return pd.Series(b.contains_hashes(s.to_numpy()))
 
-    tagged = data.withColumn("__bloom_hit", bloom_contains(_composite(keys)))
+    # same xxhash64-of-composite as build_bloom: int64 across the
+    # boundary, numpy bit tests — zero Python objects per row
+    tagged = data.withColumn(
+        "__bloom_hit", bloom_contains(F.xxhash64(_composite(keys))))
     return tagged.filter(F.col("__bloom_hit")) if keep_hits else tagged
 
 

@@ -218,6 +218,34 @@ def _qname(q: float) -> str:
     return f"{q:g}".replace(".", "_")
 
 
+# params that only affect finalize(), not the accumulated sketch STATE —
+# two specs differing only in these share one sketch (updates, blob,
+# shuffle bytes, merges all paid once; finalize runs per spec).
+_FINALIZE_ONLY_PARAMS = frozenset({"finalize", "out_type", "k_top",
+                                   "quantiles"})
+
+
+def _canon_specs(specs: list[SketchSpec]) -> tuple[list[SketchSpec], list[int]]:
+    """(canonical specs, map original-index -> canonical-index): specs
+    with identical (op, col, state params) collapse to one accumulator —
+    e.g. cm mode + mode_count over the same column (the common twin
+    pattern) updates and ships ONE CountMin instead of two."""
+    keymap: dict = {}
+    canon: list[SketchSpec] = []
+    cmap: list[int] = []
+    for s in specs:
+        key = (s.op, s.col, tuple(sorted(
+            (k, repr(v)) for k, v in s.params.items()
+            if k not in _FINALIZE_ONLY_PARAMS)))
+        j = keymap.get(key)
+        if j is None:
+            j = len(canon)
+            keymap[key] = j
+            canon.append(s)
+        cmap.append(j)
+    return canon, cmap
+
+
 # ---------------------------------------------------------------- helpers
 def _key_schema_fields(df: DataFrame, group_by: list[str]) -> list[T.StructField]:
     by_name = {f.name: f for f in df.schema.fields}
@@ -295,8 +323,9 @@ def sketch_agg(df: DataFrame,
     if hash_group_keys is None:
         hash_group_keys = False
 
-    in_cols = [spec.input_expr(i) for i, spec in enumerate(specs)]
-    in_names = [f"__in_{i}" for i in range(len(specs))]
+    canon, cmap = _canon_specs(specs)
+    in_cols = [spec.input_expr(i) for i, spec in enumerate(canon)]
+    in_names = [f"__in_{i}" for i in range(len(canon))]
     final_schema = _final_schema(df, group_by, specs, include_rows)
 
     if mode == "map" and hash_group_keys and group_by:
@@ -306,16 +335,17 @@ def sketch_agg(df: DataFrame,
             [T.StructField("__gkey", T.LongType()),
              T.StructField("__rows", T.LongType())]
             + [T.StructField(f"__blob_{i}", T.BinaryType())
-               for i in range(len(specs))])
+               for i in range(len(canon))])
         hashed_final = T.StructType(
             [T.StructField("__gkey", T.LongType())]
             + [f for f in final_schema.fields if f.name not in group_by])
         partials = proj.mapInPandas(
-            _make_partial_fn(["__gkey"], in_names, specs, partial_schema,
+            _make_partial_fn(["__gkey"], in_names, canon, partial_schema,
                              max_groups_per_partition),
             schema=partial_schema)
         merged = partials.groupBy("__gkey").applyInPandas(
-            _make_merge_fn(["__gkey"], specs, hashed_final, include_rows),
+            _make_merge_fn(["__gkey"], specs, hashed_final, include_rows,
+                           canon_map=cmap),
             schema=hashed_final)
         # recover key values: distinct keys is a pure-JVM aggregate (tiny)
         names = df.select(*group_by) \
@@ -326,7 +356,7 @@ def sketch_agg(df: DataFrame,
         return merged.join(F.broadcast(names), "__gkey").select(*out_cols)
 
     proj = df.select(*group_by, *in_cols)
-    partial_schema = _partial_schema(df, group_by, len(specs))
+    partial_schema = _partial_schema(df, group_by, len(canon))
     if mode == "map":
         from tsv_utils_spark.plans.arrow_kernel import (
             MAX_ARROW_KEYS,
@@ -337,13 +367,13 @@ def sketch_agg(df: DataFrame,
             # Arrow-native kernel: no per-row Python objects for keys
             # or cm/bloom value columns (plans/arrow_kernel.py)
             partials = proj.mapInArrow(
-                make_arrow_partial_fn(group_by, in_names, specs,
+                make_arrow_partial_fn(group_by, in_names, canon,
                                       partial_schema,
                                       max_groups_per_partition),
                 schema=partial_schema)
         else:
             partials = proj.mapInPandas(
-                _make_partial_fn(group_by, in_names, specs, partial_schema,
+                _make_partial_fn(group_by, in_names, canon, partial_schema,
                                  max_groups_per_partition),
                 schema=partial_schema)
     elif mode == "salt":
@@ -353,13 +383,14 @@ def sketch_agg(df: DataFrame,
                       F.lit(salt_partitions)).alias("__salt")
         salted = proj.select("*", salt)
         partials = salted.groupBy(*group_by, "__salt").applyInPandas(
-            _make_salt_partial_fn(group_by, in_names, specs, partial_schema),
+            _make_salt_partial_fn(group_by, in_names, canon, partial_schema),
             schema=partial_schema)
     else:
         raise ValueError("mode must be 'map' or 'salt'")
 
     merged = partials.groupBy(*group_by).applyInPandas(
-        _make_merge_fn(group_by, specs, final_schema, include_rows),
+        _make_merge_fn(group_by, specs, final_schema, include_rows,
+                       canon_map=cmap),
         schema=final_schema)
     return merged
 
@@ -575,11 +606,23 @@ def _make_salt_partial_fn(group_by, in_names, specs, partial_schema):
     return salt_fn
 
 
-def _make_merge_fn(group_by, specs, final_schema, include_rows):
+def _make_merge_fn(group_by, specs, final_schema, include_rows,
+                   canon_map=None):
+    """Level-2 merge+finalize. With ``canon_map`` (from _canon_specs),
+    partial rows carry one blob per CANONICAL spec; each is deserialized
+    and merged once, and state-sharing specs finalize from the shared
+    merged sketch (finalizers are read-only)."""
+    cmap = canon_map if canon_map is not None else list(range(len(specs)))
+    n_blobs = (max(cmap) + 1) if cmap else 0
+    rep = {}
+    for i, j in enumerate(cmap):
+        rep.setdefault(j, specs[i])
+
     def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = []
-        for i, spec in enumerate(specs):
-            blobs = pdf[f"__blob_{i}"]
+        for j in range(n_blobs):
+            spec = rep[j]
+            blobs = pdf[f"__blob_{j}"]
             s = spec.deserialize(bytes(blobs.iloc[0]))
             for b in blobs.iloc[1:]:
                 s.merge(spec.deserialize(bytes(b)))
@@ -587,9 +630,9 @@ def _make_merge_fn(group_by, specs, final_schema, include_rows):
         row = {k: [pdf[k].iloc[0]] for k in group_by}
         if include_rows:
             row["rows"] = [int(pdf["__rows"].sum())]
-        for spec, s in zip(specs, merged):
+        for i, spec in enumerate(specs):
             names = [n for n, _ in spec.output_fields()]
-            vals = spec.finalize(s)
+            vals = spec.finalize(merged[cmap[i]])
             for n, v in zip(names, vals):
                 row[n] = [v]
         return pd.DataFrame(row)
