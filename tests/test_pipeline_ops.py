@@ -1061,6 +1061,13 @@ class TestConnectedComponents:
         rdd_dirs = [d for _, dirs, _ in os.walk(ckdir) for d in dirs
                     if d.startswith("rdd-")]
         assert len(rdd_dirs) <= 2, rdd_dirs
+        # after the result is materialized, cleanup_checkpoint reclaims
+        # the remaining round files (ADVICE r5: they leaked forever)
+        from tsv_utils_spark.operators.dedup import cleanup_checkpoint
+
+        cleanup_checkpoint(labels)
+        left = [f for _, _, files in os.walk(ckdir) for f in files]
+        assert not left, left
 
 
 class TestDistributedIds:
@@ -1448,6 +1455,21 @@ class TestParagraphDedup:
         assert remove_duplicate_paragraphs_global(df) \
             .collect()[0]["text"] == "a\n\nb"
 
+    def test_null_id_raises_in_plan(self, spark):
+        # family convention: a NULL id would win the keep-first
+        # min-struct while the rebuild join never matches it — the
+        # paragraph would silently vanish corpus-wide
+        from pyspark.errors import PySparkException
+
+        from tsv_utils_spark.operators.dedup import (
+            remove_duplicate_paragraphs_global,
+        )
+
+        df = spark.createDataFrame([(0, "dup para"), (None, "dup para")],
+                                   "doc_id bigint, text string")
+        with pytest.raises(PySparkException, match="NULL doc_id"):
+            remove_duplicate_paragraphs_global(df).collect()
+
 
 class TestUrlOps:
     def test_normalize_rules(self, spark):
@@ -1532,6 +1554,26 @@ class TestSemDedup:
         assert len(out) == 72
         kept = {r["vec_id"] for r in out if r["keep"]}
         assert kept == set(range(60))  # originals keep, every clone drops
+
+    def test_string_ids_accepted(self, spark):
+        # the assignment pass derives its Arrow schema from the input id
+        # dtype (ADVICE r5: a hard-coded 'id long' died on string ids)
+        import numpy as np
+
+        from tsv_utils_spark.operators.dedup import semdedup
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(20, 8)).astype("float32")
+        rows = [(f"doc-{i:03d}", base[i].tolist()) for i in range(20)]
+        rows += [(f"dup-{i:03d}", base[i].tolist()) for i in range(0, 20, 4)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id string, embedding array<float>")
+        out = semdedup(df, "embedding", "vec_id", threshold=0.999,
+                       n_clusters=2, sample_size=32).collect()
+        assert len(out) == 25
+        kept = {r["vec_id"] for r in out if r["keep"]}
+        # 'doc-*' sorts before 'dup-*', so originals are the survivors
+        assert kept == {f"doc-{i:03d}" for i in range(20)}
 
     def test_cluster_cap_keeps_rows(self, spark):
         # a degenerate cluster larger than the cap must be EXCLUDED from

@@ -269,6 +269,43 @@ class TestStreamingDedup:
                spark.sql("SELECT * FROM dd_ord").collect()}
         assert got == {"a": "p1", "b": "q10"}
 
+    def test_all_null_order_first_batch_still_emits(self, spark,
+                                                    tmp_path):
+        # ADVICE r5: a key whose first micro-batch carries only NULL
+        # order values used to be marked seen with NOTHING emitted —
+        # the key's first row was silently lost. Now an arbitrary row
+        # is emitted (mirroring the order_col=None path) and later
+        # batches stay suppressed.
+        import pandas as pd
+
+        from tsv_utils_spark.streaming import streaming_dedup
+
+        flat = tmp_path / "nflat"
+        flat.mkdir()
+        schema = "k string, ord int, payload string"
+
+        def add(name, rows):
+            spark.createDataFrame(
+                pd.DataFrame(rows, columns=["k", "ord", "payload"]),
+                schema).coalesce(1).write.mode("append") \
+                .parquet(str(flat))
+
+        add("b0", [("a", None, "first"), ("a", None, "also-first")])
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(flat)))
+        qy = streaming_dedup(stream, ["k"],
+                             checkpoint_dir=str(tmp_path / "nstate"),
+                             query_name="dd_null", order_col="ord")
+        try:
+            qy.processAllAvailable()
+            add("b1", [("a", 1, "later")])
+            qy.processAllAvailable()
+        finally:
+            qy.stop()
+        got = spark.sql("SELECT * FROM dd_null").collect()
+        assert len(got) == 1
+        assert got[0]["payload"] in ("first", "also-first")
+
     def test_ttl_expiry_reemits_and_window_refresh(self, spark,
                                                    tmp_path):
         # TTL path: with ProcessingTimeTimeout the engine runs

@@ -494,7 +494,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
     the previous one) are deleted via the Hadoop FileSystem API, so a
     50-round job does not hold 50 full copies (Spark itself only
     cleans checkpoints on RDD GC with non-default
-    spark.cleaner.referenceTracking.cleanCheckpoints)."""
+    spark.cleaner.referenceTracking.cleanCheckpoints).
+
+    NOTE: passing ``checkpoint_dir`` calls ``sc.setCheckpointDir`` —
+    an APP-GLOBAL setting shared by every user of this SparkContext;
+    concurrent reliable-checkpoint users should agree on one dir. The
+    final round's files back the returned DataFrame and are kept; call
+    :func:`cleanup_checkpoint` on the result once it has been
+    materialized to reclaim them."""
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         sc = spark.sparkContext
@@ -558,7 +565,30 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
         labels = new_labels.drop("__old")
         if not changed:
             break
+    if checkpoint_dir is not None:
+        # round N reads only round N-1's files, and the RETURNED frame
+        # reads only the final round's — everything older is garbage now.
+        # The final round's dir must outlive the caller's consumption of
+        # the result; hand it to cleanup_checkpoint() below.
+        while len(ours) > 1:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(ours.pop(0)), True)
+        labels._cc_checkpoint_files = list(ours)  # type: ignore[attr-defined]
+        labels._cc_checkpoint_fs = (jvm, fs)  # type: ignore[attr-defined]
     return labels
+
+
+def cleanup_checkpoint(labels: DataFrame) -> None:
+    """Delete the reliable-checkpoint files behind a
+    ``connected_components(checkpoint_dir=...)`` result AFTER the caller
+    has materialized it (written/collected) — the frame cannot be
+    recomputed afterwards. No-op for localCheckpoint results."""
+    files = getattr(labels, "_cc_checkpoint_files", None)
+    if not files:
+        return
+    jvm, fs = labels._cc_checkpoint_fs  # type: ignore[attr-defined]
+    for path in files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+    labels._cc_checkpoint_files = []  # type: ignore[attr-defined]
 
 
 def _field_ddl(df: DataFrame, col: str) -> str:
@@ -590,8 +620,19 @@ def remove_duplicate_paragraphs_global(df: DataFrame, col: str = "text",
     single partition AQE cannot split. Blank paragraphs are routed
     around the shuffle entirely. One groupBy(id) reassembles.
     """
+    # NULL ids raise in-plan (family convention — _keep_first_span_dedup,
+    # url_dedup, hash_split): a NULL id would win the keep-first
+    # min-struct (struct ordering sorts NULL first) while the final
+    # non-null-safe rebuild join never matches it — the paragraph would
+    # vanish corpus-wide and the NULL-id doc's text silently become ''.
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(
+            f"remove_duplicate_paragraphs_global: NULL {id_col} — "
+            "keep-first order undefined; filter or fill ids first"))
+    ).otherwise(F.col(id_col)).alias(id_col)
     paras = df.select(
-        F.col(id_col),
+        checked_id,
         F.posexplode(F.split(F.coalesce(F.col(col), F.lit("")),
                              "\n{2,}")).alias("__pos", "__para"))
     tagged = paras.withColumn("__norm",
@@ -666,9 +707,13 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
                 "cluster": sims.argmax(axis=1).astype(np.int32),
             })
 
+    # id dtype follows the input (string vec ids are accepted everywhere
+    # else in the dedup family — a hard-coded 'id long' schema made them
+    # die in Arrow conversion at runtime)
+    id_ddl = f"id {df.schema[id_col].dataType.simpleString()}"
     assigned = df.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("__v")) \
-        .mapInPandas(assign, schema="id long, cluster int") \
+        .mapInPandas(assign, schema=f"{id_ddl}, cluster int") \
         .localCheckpoint(eager=True)  # one pass; reused three times below
     pairable = assigned
     if max_cluster_size is not None:

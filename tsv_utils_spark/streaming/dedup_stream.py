@@ -69,12 +69,18 @@ def streaming_dedup(stream_df: DataFrame, key_cols: list[str],
             return
         best = None
         best_v = None
+        fallback = None  # first row seen: emitted when every order value
+        #                  is NULL, mirroring the order_col=None path —
+        #                  otherwise the key would be marked seen with
+        #                  nothing emitted and its first row silently lost
         for pdf in pdfs:
             if not len(pdf):
                 continue
             if order_col is None:
                 best = pdf.iloc[:1]
                 break  # any single row; no point scanning further
+            if fallback is None:
+                fallback = pdf.iloc[:1]
             sub = pdf[pdf[order_col].notna()]
             if not len(sub):
                 continue
@@ -82,8 +88,12 @@ def streaming_dedup(stream_df: DataFrame, key_cols: list[str],
             v = sub[order_col].loc[i]
             if best is None or v < best_v:
                 best, best_v = sub.loc[[i]], v
-        if best is not None:
-            yield best
+        if best is None:
+            best = fallback
+        if best is None:
+            # no rows at all for this key: don't mark it seen
+            return
+        yield best
         state.update((1,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
