@@ -234,6 +234,17 @@ class TestJoin:
                           allow_duplicate_keys=True).toPandas()
         assert len(out) == 1 and out["v"][0] == "b"  # last-wins (max)
 
+    def test_duplicate_key_null_vs_value_conflict_raises(self, spark):
+        # the min!=max struct guard (r6, replacing size(collect_set))
+        # must still trip when the conflicting tuples differ only by a
+        # NULL field — struct ordering is total over null fields
+        dup = spark.createDataFrame(pd.DataFrame(
+            {"k": [1, 1], "v": ["a", None]}))
+        data = spark.createDataFrame(pd.DataFrame({"k": [1]}))
+        with pytest.raises(Exception, match="duplicate filter keys"):
+            join_filter(data, dup, on=["k"], mode="append",
+                        append=["v"]).collect()
+
     def test_duplicate_keys_same_values_join_once(self, spark):
         # the reference's filter file is an associative array — a key
         # occurring twice with IDENTICAL append values must not

@@ -57,15 +57,16 @@ def join_filter(data: DataFrame,
         # duplicated key never multiplies data rows. Kept row = max over
         # the append-tuple struct: an arbitrary-but-deterministic ACTUAL
         # row (per-column F.max could stitch a tuple existing in no row).
-        # distinct-tuple count via collect_set of the struct (NOT
-        # countDistinct(*append), which skips tuples containing a NULL
-        # component and would let a NULL-vs-value conflict pass)
+        # Conflicting-duplicate detection = min(struct) != max(struct):
+        # declarative min/max stay in codegen hash aggregation, where the
+        # former size(collect_set(struct)) forced an ObjectHashAggregate
+        # that falls back to SORT-based aggregation past 128 keys (r6;
+        # struct min/max/equality order null fields totally, so a
+        # NULL-vs-value conflict still trips the guard — pytest-pinned)
+        tup = F.struct(*[F.col(a) for a in append])
         grouped = (proj.groupBy(*filter_keys)
-                       .agg(F.max(F.struct(*[F.col(a) for a in append]))
-                             .alias("__row"),
-                            F.size(F.collect_set(
-                                F.struct(*[F.col(a) for a in append])))
-                             .alias("__n")))
+                       .agg(F.max(tup).alias("__row"),
+                            (F.min(tup) != F.max(tup)).alias("__dup")))
         if allow_duplicate_keys:  # last wins (tsv-join.d:563)
             proj = grouped.select(
                 *filter_keys,
@@ -81,7 +82,7 @@ def join_filter(data: DataFrame,
             # the caller's projection.
             k0 = filter_keys[0]
             guarded_key = F.when(
-                F.col("__n") > 1,
+                F.col("__dup"),
                 F.raise_error(F.lit(
                     "duplicate filter keys with different append values "
                     "(pass allow_duplicate_keys=True for last-wins)"))

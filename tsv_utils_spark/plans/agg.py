@@ -355,6 +355,64 @@ def sketch_agg(df: DataFrame,
         out_cols = [f.name for f in final_schema.fields]
         return merged.join(F.broadcast(names), "__gkey").select(*out_cols)
 
+    # ---- pure distinct-sketch fast path (r6) --------------------------
+    # hll/theta state is a function of the DISTINCT hash set only
+    # (sparse = set union; dense registers = max rho per bucket — both
+    # multiplicity- and order-invariant), so a JVM-side distinct first
+    # shrinks what crosses the Arrow boundary from |rows| to |distinct|
+    # (guide §2.3 "aggregate before you shuffle" — the boundary transpose
+    # measured ~0.45 s per million rows per task). Size-gated: small
+    # inputs keep the single-exchange plan. Multi-spec inputs dedup per
+    # spec via one sub-aggregation each, joined on the group keys.
+    if (mode == "map" and not include_rows
+            and all(s.op in ("hll", "theta") for s in canon)):
+        from tsv_utils_spark.plans.quantiles import (
+            MIN_INPUT_BYTES,
+            input_size_bytes,
+        )
+
+        sz = input_size_bytes(df)
+        if sz is not None and sz >= MIN_INPUT_BYTES:
+            if len(canon) == 1:
+                proj = df.select(*group_by, in_cols[0]).dropDuplicates()
+                partial_schema = _partial_schema(df, group_by, 1)
+                from tsv_utils_spark.plans.arrow_kernel import (
+                    make_arrow_partial_fn as _mk,
+                )
+
+                if 1 <= len(group_by) <= 3:
+                    partials = proj.mapInArrow(
+                        _mk(group_by, in_names, canon, partial_schema,
+                            max_groups_per_partition),
+                        schema=partial_schema)
+                else:
+                    partials = proj.mapInPandas(
+                        _make_partial_fn(group_by, in_names, canon,
+                                         partial_schema,
+                                         max_groups_per_partition),
+                        schema=partial_schema)
+                return partials.groupBy(*group_by).applyInPandas(
+                    _make_merge_fn(group_by, specs, final_schema,
+                                   include_rows, canon_map=cmap),
+                    schema=final_schema)
+            if group_by:
+                from tsv_utils_spark.functions.joins import join_null_safe
+
+                subs = [sketch_agg(
+                    df, group_by, [cs], mode="map",
+                    max_groups_per_partition=max_groups_per_partition)
+                    for cs in canon]
+                out = subs[0]
+                for sub in subs[1:]:
+                    out = join_null_safe(out, sub, group_by)
+                exprs = []
+                for i, spec in enumerate(specs):
+                    src = canon[cmap[i]]
+                    for (name, _t2), (src_name, _t3) in zip(
+                            spec.output_fields(), src.output_fields()):
+                        exprs.append(F.col(src_name).alias(name))
+                return out.select(*group_by, *exprs)
+
     proj = df.select(*group_by, *in_cols)
     partial_schema = _partial_schema(df, group_by, len(canon))
     if mode == "map":
