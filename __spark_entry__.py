@@ -3327,45 +3327,33 @@ def q_semdedup_planted(spark, sf_dir):
 # locally via tools/check_oracles.py) come first, ahead of the 50-query
 # window.  Previously-witnessed queries follow in registration order.
 _FRONT_OF_BOARD = [
-    # round-5 rotation: every query below last earned a driver-green row
-    # in r1/r2 (first 15) or r3 (remaining 35); the 50 r4-green queries
-    # rotate to the back.  After this round every query's most recent
-    # driver row is dated r3+ (and r1/r2 stragglers are refreshed).
-    # round-5 additions (never driver-run):
-    "events_asof_attrib", "events_error_window", "csv2tsv_multiline_par",
-    "dsir_scores_det",
-    # round-5 late additions (never driver-run):
-    "text_c4_quality", "dedup_paragraphs_global", "dedup_sentence_spans",
-    "url_dedup", "url_host_stats", "url_domain_cap", "semdedup_planted",
-    "jsonl_roundtrip", "text_chunk_documents", "text_bad_words",
-    "near_dedup_select_exact", "corpus_quality_report",
-    "dedup_token_windows", "classifier_score_det", "hash_split_det",
-    "embedding_quantize", "html_extract_text", "dedup_rate_by_source",
-    # r1-dated:
-    "dedup_exact_docs", "text_tokens", "text_quality", "text_fingerprint",
-    "sha_invariant", "events_json_extract", "ann_bruteforce", "lang_id",
-    # r2-dated:
-    "split_bucket_det", "select_project", "append_union", "number_lines",
-    "values_ordered", "hll_unique_count", "cm_mode",
-    # r3-dated (summarize_retain, format_number, filter_empty_blank,
-    # filter_numeric_classes, sample_token_budget, sample_bernoulli_det
-    # displaced by jsonl_roundtrip, text_chunk_documents,
-    # text_bad_words, near_dedup_select_exact, corpus_quality_report,
-    # dedup_rate_by_source):
-    "filter_field_vs_field", "filter_string_ops", "join_semi", "join_anti",
-    "join_append", "join_write_all", "join_bloom_semi", "join_bloom_anti",
-    "join_salted", "uniq_first", "uniq_equiv", "uniq_number",
-    "uniq_repeated",
-    # (uniq_wholeline, unique_values_first_seen, filter_len,
-    # sample_replacement_det stay r3-green on the back board —
-    # displaced by the four round-5 additions; events_hourly,
-    # events_sessions, join_append_dup, tsv_roundtrip,
-    # csv2tsv_roundtrip, ngram_jaccard_pairs, uniq_ignore_case,
-    # and later gen_random_inorder_det, sample_topk_det,
-    # sample_weighted_det, sample_distinct_det (displaced by
-    # classifier_score_det, hash_split_det, embedding_quantize,
-    # html_extract_text) likewise displaced by the seventeen late
-    # round-5 additions)
+    # round-6 rotation (VERDICT r5 item 1): the 22 queries whose latest
+    # driver-green is r3 come first — after the r6 driver run no oracled
+    # query's most recent green predates r4.
+    "csv2tsv_roundtrip", "events_hourly", "events_sessions",
+    "filter_empty_blank", "filter_len", "filter_numeric_classes",
+    "format_number", "gen_random_inorder_det", "join_append_dup",
+    "ngram_jaccard_pairs", "sample_bernoulli_det", "sample_distinct_det",
+    "sample_replacement_det", "sample_stratified_det",
+    "sample_token_budget", "sample_topk_det", "sample_weighted_det",
+    "summarize_retain", "tsv_roundtrip", "uniq_ignore_case",
+    "uniq_wholeline", "unique_values_first_seen",
+    # then 28 r4-dated slots, prioritizing queries whose IMPLEMENTATION
+    # changed this optimization round (selection quantiles, rank
+    # validation, sketch fast paths, expression rewrites) so the driver
+    # re-evidences their unchanged results:
+    "summarize_quantiles", "summarize_global", "summarize_mad_range",
+    "summarize_basic", "summarize_stats3", "summarize_mode",
+    "summarize_unique_count", "summarize_first_last",
+    "summarize_missing_policy", "summarize_unique_values",
+    "text_profile", "kll_quantiles", "tdigest_quantiles", "cm_mode_day",
+    "theta_part_overlap", "filter_numeric", "filter_or_invert",
+    "filter_regex", "filter_label", "filter_count", "scrub_pii",
+    "decontaminate_exact", "decontaminate_near", "ann_lsh", "ann_ivf",
+    "minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
+    # (the remaining r4-dated queries — code_* family, joins, text_*,
+    # pack/sample dets, pipeline_e2e — stay r4-green on the back board;
+    # every r5-green query rotates behind them)
 ]
 
 
