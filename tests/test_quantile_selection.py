@@ -147,6 +147,14 @@ class TestSelectionQuantiles:
         assert "percentile" in out._jdf.queryExecution().optimizedPlan() \
             .toString().lower()
 
+    def test_midsize_group_count_uses_join_path(self, spark):
+        # 65..1024 groups exercise the broadcast-join bounds attachment
+        # (literal when-chains are capped at 64 groups)
+        rng = random.Random(17)
+        rows = [(f"g{i % 100:03d}", rng.gauss(0, 50)) for i in range(40000)]
+        self._check(spark.createDataFrame(rows, "k string, v double"),
+                    ["k"], probs=[0.1, 0.5, 0.9])
+
     def test_many_groups_falls_back(self, spark):
         rows = [(str(i), float(i)) for i in range(2000)]
         df = spark.createDataFrame(rows, "k string, v double")
