@@ -139,6 +139,28 @@ class TestSelectionQuantiles:
             .orderBy("k").collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
+    def test_mad_selection_matches_percentile(self, spark):
+        rng = random.Random(31)
+        rows = [(rng.choice("pqr"),
+                 rng.gauss(50, 9) if rng.random() < 0.9 else None)
+                for _ in range(20000)] + [("s", None)] * 10
+        df = spark.createDataFrame(rows, "k string, v double")
+        ops = [Op.mad("v", header="mad_v")]
+        a = summarize(df, ["k"], ops, quantile_algo="percentile") \
+            .orderBy("k").collect()
+        b = summarize(df, ["k"], ops, quantile_algo="selection") \
+            .orderBy("k").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_mad_selection_global(self, spark):
+        rng = random.Random(37)
+        rows = [(float(rng.randint(0, 30)),) for _ in range(10000)]
+        df = spark.createDataFrame(rows, "v double")
+        ops = [Op.mad("v", header="mad_v"), Op.median("v", header="med_v")]
+        a = summarize(df, None, ops, quantile_algo="percentile").collect()
+        b = summarize(df, None, ops, quantile_algo="selection").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
     def test_summarize_auto_stays_lazy_on_small_input(self, tables):
         li = tables["lineitem"]
         out = summarize(li, ["l_returnflag"],

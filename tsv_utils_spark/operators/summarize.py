@@ -268,7 +268,8 @@ def summarize(df: DataFrame,
     for op in mode_ops:
         results.append(_mode_agg(df, group_by, op, missing, order_col))
     if mad_ops:
-        results.append(_mad_agg(df, group_by, mad_ops, missing))
+        results.append(_mad_agg(df, group_by, mad_ops, missing,
+                                quantile_algo))
 
     out = results[0]
     for r in results[1:]:
@@ -369,6 +370,55 @@ def _simple_agg(op: Op, missing: MissingPolicy, order_col: str | None) -> list[C
     raise AssertionError(op.kind)
 
 
+def _mad_selection(df: DataFrame, group_by: list[str], ops: list[Op],
+                   missing: MissingPolicy,
+                   algo: str) -> DataFrame | None:
+    """Selection-engine MAD: exact medians, then exact medians of the
+    absolute deviations with the per-group median inlined as a literal
+    when-chain. Returns None to keep the percentile path (small input,
+    NaN/inf data, many groups)."""
+    from tsv_utils_spark.plans.quantiles import (
+        MIN_INPUT_BYTES,
+        input_size_bytes,
+        selection_quantiles,
+    )
+
+    if algo == "auto":
+        sz = input_size_bytes(df)
+        if sz is None or sz < MIN_INPUT_BYTES:
+            return None
+    vals = [missing.apply(F.col(op.col)).try_cast("double") for op in ops]
+    meds = selection_quantiles(df, group_by, vals,
+                               [[0.5]] * len(ops),
+                               [[f"__m_{i}"] for i in range(len(ops))])
+    if meds is None:
+        return None
+    med_rows = meds.collect()
+    if not med_rows or len(med_rows) > 64:
+        return None  # empty grouped input (or many groups): lazy path
+
+    def group_cond(r):
+        if not group_by:
+            return F.lit(True)
+        cond = None
+        for kk in group_by:
+            c = F.col(kk).eqNullSafe(F.lit(r[kk]))
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    dev_cols = []
+    for i, op in enumerate(ops):
+        chain = None
+        for r in med_rows:
+            m = F.lit(r[f"__m_{i}"]).cast("double")
+            chain = F.when(group_cond(r), m) if chain is None \
+                else chain.when(group_cond(r), m)
+        dev_cols.append(F.abs(vals[i] - chain))
+    return selection_quantiles(df, group_by, dev_cols,
+                               [[0.5]] * len(ops),
+                               [[op.out_name()] for op in ops])
+
+
 def _try_selection_quantiles(df: DataFrame, group_by: list[str],
                              by_col: dict, col_probs: dict,
                              missing: MissingPolicy,
@@ -451,14 +501,24 @@ def _mode_agg(df: DataFrame, group_by: list[str], op: Op,
 
 
 def _mad_agg(df: DataFrame, group_by: list[str], ops: list[Op],
-             missing: MissingPolicy) -> DataFrame:
+             missing: MissingPolicy,
+             quantile_algo: str = "auto") -> DataFrame:
     """Raw MAD (tsv-summarize.d:3593): median(|x - median(x)|), two passes.
 
     Pass 1 computes per-group medians (one shuffle), broadcast-joined back
     (the medians relation has one row per group), pass 2 aggregates the
     absolute deviations — the distributed form of the reference's shared
     sorted-value-list computation.
+
+    Large inputs route BOTH medians through the distributed-selection
+    engine (bit-identical to F.percentile — same gate and fallbacks as
+    the quantile ops): the per-group median attaches as a literal
+    when-chain, so neither pass buffers a value map or joins the data.
     """
+    if quantile_algo != "percentile":
+        sel = _mad_selection(df, group_by, ops, missing, quantile_algo)
+        if sel is not None:
+            return sel
     meds_aggs = [F.percentile(missing.apply(F.col(op.col)).try_cast("double"),
                               F.lit(0.5)).alias(f"__med_{op.col}")
                  for op in ops]
