@@ -478,3 +478,84 @@ class TestSketchRollup:
         for b in blobs[1:]:
             m.merge(b)
         assert int(m.estimate()) == li.select("l_partkey").distinct().count()
+
+
+class TestCmWeightedFastPath:
+    """The r6 large-input count-min path (JVM (keys, value)->count
+    pre-agg + weighted updates) must return results identical to the
+    row-at-a-time path across value types, nulls, twins, and the
+    candidate-truncation regime — CM is linear in multiplicities and
+    mode/heavy_hitters re-score against the merged table, so equality is
+    exact by construction; these tests pin it."""
+
+    def _ab(self, df, keys, specs):
+        import tsv_utils_spark.plans.quantiles as Q
+
+        old = Q.MIN_INPUT_BYTES
+        try:
+            Q.MIN_INPUT_BYTES = 1 << 60
+            a = sketch_agg(df, keys, specs).collect()
+            Q.MIN_INPUT_BYTES = 0
+            b = sketch_agg(df, keys, specs).collect()
+        finally:
+            Q.MIN_INPUT_BYTES = old
+        sa = sorted([tuple(r) for r in a], key=repr)
+        sb = sorted([tuple(r) for r in b], key=repr)
+        assert sa == sb
+        return sa
+
+    def test_twins_nulls_and_null_group(self, spark):
+        rows = [("a", "x"), ("a", "x"), ("a", "y"), ("a", None),
+                ("b", "z"), ("b", "z"), (None, "w"), (None, "w")]
+        df = spark.createDataFrame(rows, "g string, v string")
+        out = self._ab(df, ["g"], [
+            SketchSpec("cm", "v", "m", {"finalize": "mode"}),
+            SketchSpec("cm", "v", "mc", {"finalize": "mode_count"})])
+        assert ("a", "x", 2) in out and ("b", "z", 2) in out
+
+    def test_global_no_keys(self, spark):
+        df = spark.createDataFrame([(i % 7,) for i in range(1000)], "v int")
+        out = self._ab(df, [], [SketchSpec("cm", "v", "m",
+                                           {"finalize": "mode"})])
+        assert out == [("0",)]
+
+    def test_typed_date(self, spark):
+        import datetime
+
+        rows = [("a", datetime.date(2024, 1, 1 + i % 3)) for i in range(30)]
+        rows += [("a", None), ("b", datetime.date(2024, 2, 2))]
+        df = spark.createDataFrame(rows, "g string, d date")
+        out = self._ab(df, ["g"], [
+            SketchSpec("cm", "d", "m", {"finalize": "mode", "typed": True,
+                                        "out_type": "date"})])
+        assert out[0] == ("a", datetime.date(2024, 1, 1))
+
+    def test_beyond_max_candidates(self, spark):
+        rows = [("g", f"v{i % 500}") for i in range(5000)]
+        rows += [("g", "hot")] * 600
+        df = spark.createDataFrame(rows, "g string, v string")
+        out = self._ab(df, ["g"], [
+            SketchSpec("cm", "v", "m", {"finalize": "mode"}),
+            SketchSpec("cm", "v", "mc", {"finalize": "mode_count"})])
+        assert out == [("g", "hot", 600)]
+
+    def test_mixed_hll_cm_multi_spec_with_twins(self, spark):
+        df = spark.createDataFrame(
+            [("a", i % 50, "s%d" % (i % 4)) for i in range(2000)]
+            + [("b", 1, "t")], "g string, k int, v string")
+        out = self._ab(df, ["g"], [
+            SketchSpec("hll", "k", "uc"),
+            SketchSpec("cm", "v", "m", {"finalize": "mode"}),
+            SketchSpec("cm", "v", "mc", {"finalize": "mode_count"})])
+        by_g = {r[0]: r for r in out}
+        assert int(by_g["a"][1]) == 50 and by_g["a"][3] == 500
+        assert by_g["b"] == ("b", 1.0, "t", 1)
+
+    def test_topk_json(self, spark):
+        df = spark.createDataFrame(
+            [("a", "s%d" % (i % 4)) for i in range(2000)],
+            "g string, v string")
+        out = self._ab(df, ["g"], [
+            SketchSpec("cm", "v", "tk", {"finalize": "topk_json",
+                                         "k_top": 2})])
+        assert out[0][0] == "a" and '"s0", 500' in out[0][1]

@@ -365,7 +365,7 @@ def sketch_agg(df: DataFrame,
     # inputs keep the single-exchange plan. Multi-spec inputs dedup per
     # spec via one sub-aggregation each, joined on the group keys.
     if (mode == "map" and not include_rows
-            and all(s.op in ("hll", "theta") for s in canon)):
+            and all(s.op in ("hll", "theta", "cm") for s in canon)):
         from tsv_utils_spark.plans.quantiles import (
             MIN_INPUT_BYTES,
             input_size_bytes,
@@ -373,6 +373,24 @@ def sketch_agg(df: DataFrame,
 
         sz = input_size_bytes(df)
         if sz is not None and sz >= MIN_INPUT_BYTES:
+            if len(canon) == 1 and canon[0].op == "cm":
+                # ---- weighted count-min fast path (r6) ----------------
+                # CM is LINEAR in value multiplicities (table[d][h(v)] +=
+                # count, n += count) and mode/heavy_hitters RE-SCORE the
+                # candidate set against the merged table, so a JVM-side
+                # (keys, value) -> count pre-aggregation feeding the
+                # existing weighted CountMin.update produces the same
+                # finalized results: identical table cells, identical
+                # candidate set whenever distinct values fit
+                # max_candidates (the exact-mode regime the oracled
+                # queries run in). The Arrow boundary then pays
+                # |distinct (key, value) pairs| rows instead of |rows|,
+                # and the pre-aggregation itself is a map-side-combined
+                # codegen hash agg (skew-immune). Values cross as the
+                # same object-dtype arrays the unweighted kernels feed,
+                # so every hash cell matches bit-for-bit.
+                return _cm_weighted_fast_agg(df, group_by, specs, canon,
+                                             cmap, in_cols, final_schema)
             if len(canon) == 1:
                 proj = df.select(*group_by, in_cols[0]).dropDuplicates()
                 partial_schema = _partial_schema(df, group_by, 1)
@@ -398,20 +416,23 @@ def sketch_agg(df: DataFrame,
             if group_by:
                 from tsv_utils_spark.functions.joins import join_null_safe
 
+                # one sub-aggregation per CANONICAL accumulator, carrying
+                # every original spec that shares it (so finalize-only
+                # twins — e.g. cm mode + mode_count — finalize inside the
+                # sub-call under their own output names)
+                by_canon: dict[int, list[SketchSpec]] = {}
+                for i, s in enumerate(specs):
+                    by_canon.setdefault(cmap[i], []).append(s)
                 subs = [sketch_agg(
-                    df, group_by, [cs], mode="map",
+                    df, group_by, gspecs, mode="map",
                     max_groups_per_partition=max_groups_per_partition)
-                    for cs in canon]
+                    for _, gspecs in sorted(by_canon.items())]
                 out = subs[0]
                 for sub in subs[1:]:
                     out = join_null_safe(out, sub, group_by)
-                exprs = []
-                for i, spec in enumerate(specs):
-                    src = canon[cmap[i]]
-                    for (name, _t2), (src_name, _t3) in zip(
-                            spec.output_fields(), src.output_fields()):
-                        exprs.append(F.col(src_name).alias(name))
-                return out.select(*group_by, *exprs)
+                out_names = [name for s in specs
+                             for name, _t2 in s.output_fields()]
+                return out.select(*group_by, *out_names)
 
     proj = df.select(*group_by, *in_cols)
     partial_schema = _partial_schema(df, group_by, len(canon))
@@ -451,6 +472,99 @@ def sketch_agg(df: DataFrame,
                        canon_map=cmap),
         schema=final_schema)
     return merged
+
+
+def _cm_weighted_fast_agg(df: DataFrame, group_by: list[str],
+                          specs: list[SketchSpec], canon: list[SketchSpec],
+                          cmap: list[int], in_cols: list,
+                          final_schema: T.StructType) -> DataFrame:
+    """Large-input count-min path: JVM (keys, value) -> count pre-agg,
+    then weighted CountMin updates over the distinct pairs (see the
+    dispatch comment in sketch_agg). Level-2 merge/finalize is the
+    standard one, so twins sharing the accumulator finalize per spec."""
+    in_name = "__in_0"
+    pre = (df.select(*group_by, in_cols[0])
+             .groupBy(*group_by, in_name)
+             .agg(F.count(F.lit(1)).alias("__w")))
+    partial_schema = _partial_schema(df, group_by, 1)
+    partials = pre.mapInPandas(
+        _make_weighted_cm_partial_fn(group_by, in_name, canon[0],
+                                     partial_schema),
+        schema=partial_schema)
+    return partials.groupBy(*group_by).applyInPandas(
+        _make_merge_fn(group_by, specs, final_schema, False,
+                       canon_map=cmap),
+        schema=final_schema)
+
+
+def _make_weighted_cm_partial_fn(group_by, in_name, spec, partial_schema,
+                                 max_buffered_rows: int = 4_000_000):
+    """Level-1 kernel for the weighted cm fast path: input rows are
+    pre-aggregated (keys..., value, __w) pairs — one weighted
+    CountMin.update per group per partition. Values are converted to the
+    SAME object-dtype arrays the unweighted kernels feed (hash64 is
+    dtype-sensitive; the merged table's cells must line up with the
+    object-dtype re-score in heavy_hitters). NULL-value pairs count into
+    __rows but are dropped from the update, matching row semantics."""
+    out_cols = [f.name for f in partial_schema.fields]
+
+    def partial_fn(batches):
+        vals: dict[tuple, list] = {}
+        cnts: dict[tuple, list] = {}
+        rows: dict[tuple, int] = {}
+        buffered = 0
+
+        def flush():
+            nonlocal buffered
+            items = list(vals.items())
+            vals.clear()
+            buffered = 0
+            CHUNK = 1024
+            for lo in range(0, len(items), CHUNK):
+                data = {c: [] for c in out_cols}
+                for key, chunks in items[lo:lo + CHUNK]:
+                    vv = chunks[0] if len(chunks) == 1 \
+                        else np.concatenate(chunks)
+                    wc = cnts[key]
+                    ww = wc[0] if len(wc) == 1 else np.concatenate(wc)
+                    s = spec.make()
+                    sv = pd.Series(vv)
+                    keep = sv.notna().to_numpy()
+                    if keep.any():
+                        s.update(sv[keep].to_numpy(dtype=object),
+                                 counts=ww[keep].astype(np.int64))
+                    for j, k in enumerate(group_by):
+                        data[k].append(key[j])
+                    data["__rows"].append(rows[key])
+                    data["__blob_0"].append(s.serialize())
+                yield pd.DataFrame(data)
+            cnts.clear()
+            rows.clear()
+
+        for pdf in batches:
+            v = pdf[in_name].to_numpy()
+            w = pdf["__w"].to_numpy()
+            if group_by:
+                idx = pdf.groupby(group_by, sort=False, dropna=False).indices
+            else:
+                idx = {(): np.arange(len(pdf))}
+            for key, rix in idx.items():
+                if not isinstance(key, tuple):
+                    key = (key,)
+                slot = vals.get(key)
+                if slot is None:
+                    vals[key] = slot = []
+                    cnts[key] = []
+                    rows[key] = 0
+                slot.append(v[rix])
+                cnts[key].append(w[rix])
+                rows[key] += int(w[rix].sum())
+            buffered += len(pdf)
+            if buffered > max_buffered_rows:
+                yield from flush()
+        yield from flush()
+
+    return partial_fn
 
 
 def sketch_partials(df: DataFrame,
