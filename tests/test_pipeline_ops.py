@@ -2246,3 +2246,54 @@ class TestHtmlToText:
         plan = df.select(html_to_text("html")) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+    def test_matches_bruteforce_reference(self, spark):
+        # the r6 anchor-gap pair prefilter must be LOSSLESS: with a
+        # single cluster (all pairs eligible) the keep set must equal an
+        # independent numpy brute-force (exact cosine >= threshold ->
+        # union-find min survivor), including planted pairs just above
+        # and just below the threshold
+        import numpy as np
+
+        from tsv_utils_spark.operators.dedup import semdedup
+
+        rng = np.random.default_rng(23)
+        n, dim, thr = 240, 24, 0.999
+        base = rng.normal(size=(n, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        # plant: exact clones, just-above pairs, just-below pairs
+        for i, scale in ((0, 0.0), (3, 0.02), (6, 0.02), (9, 0.05),
+                         (12, 0.05)):
+            p = rng.normal(size=dim)
+            p -= (p @ base[i]) * base[i]
+            p /= np.linalg.norm(p)
+            base[i + 1] = base[i] * np.sqrt(1 - scale ** 2) + p * scale
+        vecs = base.astype("float32")
+        rows = [(i, vecs[i].tolist()) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semdedup(df, "embedding", "vec_id", threshold=thr,
+                       n_clusters=1, sample_size=64).collect()
+        got_kept = {r["vec_id"] for r in out if r["keep"]}
+
+        # reference: float64 cosine over the float32-rounded vectors
+        v = vecs.astype("float64")
+        u = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = u @ u.T
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.where(np.triu(sims >= thr, k=1))
+        # no planted pair sits within 1e-9 of the threshold, so fold-order
+        # rounding differences cannot flip an edge
+        assert np.all(np.abs(sims[ii, jj] - thr) > 1e-9)
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        ref_kept = {i for i in range(n) if find(i) == i}
+        assert got_kept == ref_kept

@@ -21,6 +21,8 @@ Arrow-vectorized batches.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -534,6 +536,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the edge list ONCE: every round's min-propagation joins
+    # against it, and `pairs` is usually an EXPENSIVE lazy plan (banded
+    # candidates + exact verify) — without this, each round (plus the
+    # seed-label build) re-evaluates that whole plan (r6: semdedup at
+    # 20k vectors spent ~4x its verify cost in CC rounds). Edge rows are
+    # just id pairs, so the materialization is tiny; reliable mode
+    # checkpoints them like the label rounds (tracked separately — the
+    # round-N-2 GC below must never delete the edges, which every round
+    # reads) and deletes them once the final labels are materialized.
+    edges_path = None
+    if checkpoint_dir is not None:
+        edges = edges.checkpoint(eager=True)
+        opt = edges._jdf.queryExecution().analyzed().rdd() \
+            .getCheckpointFile()
+        if opt.isDefined():
+            edges_path = opt.get()
+    else:
+        edges = edges.localCheckpoint(eager=True)
     labels = _persist_round(
         edges.select(F.col("a").alias("id"))
              .unionByName(edges.select(F.col("b").alias("id")))
@@ -572,6 +592,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
         # the result; hand it to cleanup_checkpoint() below.
         while len(ours) > 1:
             fs.delete(jvm.org.apache.hadoop.fs.Path(ours.pop(0)), True)
+        if edges_path is not None:
+            # the final (eager) label round no longer reads the edges
+            fs.delete(jvm.org.apache.hadoop.fs.Path(edges_path), True)
         labels._cc_checkpoint_files = list(ours)  # type: ignore[attr-defined]
         labels._cc_checkpoint_fs = (jvm, fs)  # type: ignore[attr-defined]
     return labels
@@ -696,16 +719,41 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     cents = _train_centroids(df, id_col, vec_col, n_clusters, seed,
                              sample_size)
     bc = df.sparkSession.sparkContext.broadcast(cents)
+    dim = cents.shape[1]
+
+    # fixed anchor directions for the pair prefilter below: in high
+    # dimension a SINGLE anchor prunes weakly (anchor distances
+    # concentrate in a ~1/sqrt(dim) band), so each vector also records
+    # its distance to 3 deterministic seeded unit anchors — every anchor
+    # contributes an independent lossless gap filter
+    _rng = np.random.default_rng(seed ^ 0x5EED)
+    _anch = _rng.standard_normal((3, dim)).astype(np.float64)
+    _anch /= np.maximum(np.linalg.norm(_anch, axis=1, keepdims=True),
+                        1e-12)
 
     def assign(batches):
         for pdf in batches:
             vecs = np.stack(pdf["__v"].to_numpy()).astype(np.float32)
             norm = np.linalg.norm(vecs, axis=1, keepdims=True)
             sims = (vecs / np.maximum(norm, 1e-9)) @ bc.value.T
-            yield pd.DataFrame({
+            cl = sims.argmax(axis=1).astype(np.int32)
+            # anchor distances for the pair prefilter: float64
+            # ||unit(v) - anchor|| (assignment itself stays on the
+            # float32 path — unchanged)
+            v64 = vecs.astype(np.float64)
+            u = v64 / np.maximum(np.linalg.norm(v64, axis=1,
+                                                keepdims=True), 1e-12)
+            c64 = bc.value.astype(np.float64)
+            ch = c64 / np.maximum(np.linalg.norm(c64, axis=1,
+                                                 keepdims=True), 1e-12)
+            out = {
                 "id": pdf["id"].to_numpy(),
-                "cluster": sims.argmax(axis=1).astype(np.int32),
-            })
+                "cluster": cl,
+                "d0": np.linalg.norm(u - ch[cl], axis=1),
+            }
+            for j in range(3):
+                out[f"d{j + 1}"] = np.linalg.norm(u - _anch[j], axis=1)
+            yield pd.DataFrame(out)
 
     # id dtype follows the input (string vec ids are accepted everywhere
     # else in the dedup family — a hard-coded 'id long' schema made them
@@ -713,7 +761,8 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     id_ddl = f"id {df.schema[id_col].dataType.simpleString()}"
     assigned = df.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("__v")) \
-        .mapInPandas(assign, schema=f"{id_ddl}, cluster int") \
+        .mapInPandas(assign, schema=f"{id_ddl}, cluster int, d0 double, "
+                                    f"d1 double, d2 double, d3 double") \
         .localCheckpoint(eager=True)  # one pass; reused three times below
     pairable = assigned
     if max_cluster_size is not None:
@@ -722,8 +771,24 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
               .where(F.col("__cn") <= max_cluster_size)
               .select("cluster"))
         pairable = assigned.join(ok, "cluster", "left_semi")
+    # triangle-inequality pair prefilter (lossless): unit vectors with
+    # cos(a, b) >= t satisfy ||u_a - u_b|| <= sqrt(2 - 2t), and for ANY
+    # anchor p, | d(u_a, p) - d(u_b, p) | <= ||u_a - u_b||. So a pair
+    # whose anchor-distance gap exceeds the bound (+ slack dwarfing
+    # float64 rounding) cannot reach the threshold — pruned by a codegen
+    # double compare instead of the interpreted per-pair cosine (3 x dim
+    # boxed lambda evals). Edges, hence components and survivors, are
+    # IDENTICAL: the exact cosine below is unchanged and still decides
+    # every surviving pair. At threshold 0.999 the bound is ~0.045 while
+    # anchor distances spread over ~[0, 1.4] — most of the quadratic
+    # within-cluster pair volume never reaches the cosine.
+    eps = math.sqrt(max(0.0, 2.0 - 2.0 * threshold)) + 1e-6
+    gap_ok = None
+    for j in range(4):
+        g = (F.abs(F.col(f"x.d{j}") - F.col(f"y.d{j}")) <= F.lit(eps))
+        gap_ok = g if gap_ok is None else (gap_ok & g)
     cand = (pairable.alias("x").join(pairable.alias("y"), "cluster")
-            .where(F.col("x.id") < F.col("y.id"))
+            .where((F.col("x.id") < F.col("y.id")) & gap_ok)
             .select(F.col("x.id").alias("id_a"),
                     F.col("y.id").alias("id_b")))
     v = df.select(F.col(id_col), F.col(vec_col).alias("__v"))
