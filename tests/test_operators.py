@@ -301,6 +301,32 @@ class TestJoin:
         assert got_semi == exact_semi
         assert got_anti == exact_anti
 
+    def test_bloom_jvm_path_engages_and_matches_fallback(self, tables):
+        """The JVM-native bloom path (bloom_filter_agg build +
+        might_contain codegen probe) must engage on a classic session,
+        and the broadcast+numpy fallback (forced via the size-gate env)
+        must return the identical result set."""
+        import os
+
+        from tsv_utils_spark.operators.join import bloom_semi_join
+
+        orders, cust = tables["orders"], tables["customer"]
+        small = cust.filter(F.col("c_custkey") % 3 == 0)
+        data = orders.withColumnRenamed("o_custkey", "c_custkey")
+        out = bloom_semi_join(data, small, ["c_custkey"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan  # JVM probe, no Python boundary
+        got_jvm = set(r.o_orderkey for r in out.collect())
+        os.environ["SPARK_TSV_BLOOM_JVM_MAX_BYTES"] = "0"
+        try:
+            legacy = bloom_semi_join(data, small, ["c_custkey"])
+            lplan = legacy._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" not in lplan
+            got_legacy = set(r.o_orderkey for r in legacy.collect())
+        finally:
+            del os.environ["SPARK_TSV_BLOOM_JVM_MAX_BYTES"]
+        assert got_jvm == got_legacy
+
     def test_bloom_empty_filter_side(self, spark, tables):
         """A zero-partition filter df (createDataFrame([], schema)) must
         yield an empty Bloom — semi keeps nothing, anti keeps all."""

@@ -138,6 +138,74 @@ def salted_join(big: DataFrame, medium: DataFrame, keys: list[str],
     return b.join(m, [*keys, "__salt"], how).drop("__salt")
 
 
+def _bloom_m_k(n: int, fpr: float) -> tuple[int, int]:
+    m = int(math.ceil(-max(n, 1) * math.log(fpr) / (math.log(2) ** 2)))
+    k = max(1, round(m / max(n, 1) * math.log(2)))
+    return m, k
+
+
+# Above this filter size the JVM-native path (which embeds the built
+# filter as a plan literal, exactly like Spark's own runtime-bloom
+# scalar subquery does) falls back to the broadcast+numpy path: a
+# multi-hundred-MB literal belongs in a broadcast, not the task binary.
+# Spark's own runtime filter caps itself at 8MB (numBits default) for
+# the same reason; we allow more because the build side is counted, not
+# estimated.
+_JVM_BLOOM_MAX_BYTES = 32 << 20
+
+
+def _jvm_bloom_hit_col(data: DataFrame, filter_df: DataFrame,
+                       keys: list[str], fpr: float):
+    """Boolean membership Column via Spark's NATIVE bloom expressions:
+    ``bloom_filter_agg`` builds the filter in one JVM aggregate job
+    (map-side partials, no Python boundary, blob collected once) and
+    ``might_contain`` probes it inside WholeStageCodegen — the machinery
+    behind SPARK-32268's runtime filter (guide §3.2), driven explicitly
+    so it fires regardless of size estimates. Returns None when the
+    internal expressions are unavailable (non-classic session, changed
+    internals) or the filter would exceed _JVM_BLOOM_MAX_BYTES — callers
+    fall back to the library BloomFilter path. Both paths feed the same
+    exact reconciliation join, so the result set is identical either
+    way (no false negatives in any Bloom)."""
+    import os
+
+    max_bytes = int(os.environ.get("SPARK_TSV_BLOOM_JVM_MAX_BYTES",
+                                   _JVM_BLOOM_MAX_BYTES))
+    if max_bytes <= 0:
+        return None
+    try:
+        from pyspark.sql.classic.column import Column as _CCol
+
+        spark = filter_df.sparkSession
+        jvm = spark._sc._jvm
+        eu = getattr(getattr(jvm.org.apache.spark.sql.classic,
+                             "ExpressionUtils$"), "MODULE$")
+        bfa_cls = jvm.org.apache.spark.sql.catalyst.expressions.aggregate \
+            .BloomFilterAggregate
+        mc_cls = jvm.org.apache.spark.sql.catalyst.expressions \
+            .BloomFilterMightContain
+
+        def _expr(col):
+            return eu.expression(col._jc)
+
+        keyed = filter_df.select(F.xxhash64(_composite(keys)).alias("__h"))
+        n = keyed.count()
+        m, _k = _bloom_m_k(n, fpr)
+        if m // 8 > max_bytes:
+            return None
+        agg = bfa_cls(_expr(F.col("__h")),
+                      _expr(F.lit(max(n, 1)).cast("long")),
+                      _expr(F.lit(m).cast("long"))).toAggregateExpression()
+        blob = keyed.agg(_CCol(eu.column(agg)).alias("bf")).collect()[0][0]
+        if blob is None:  # empty filter side: nothing can match
+            return F.lit(False)
+        probe = mc_cls(_expr(F.lit(bytearray(blob))),
+                       _expr(F.xxhash64(_composite(keys))))
+        return _CCol(eu.column(probe))
+    except Exception:
+        return None
+
+
 def build_bloom(filter_df: DataFrame, keys: list[str], fpr: float = 0.001,
                 capacity: int | None = None) -> BloomFilter:
     """Build one Bloom filter over the (composite) filter keys.
@@ -155,8 +223,7 @@ def build_bloom(filter_df: DataFrame, keys: list[str], fpr: float = 0.001,
     # string path hashed every key in Python)
     keyed = filter_df.select(F.xxhash64(_composite(keys)).alias("__h"))
     n = capacity or keyed.count()
-    m = int(math.ceil(-max(n, 1) * math.log(fpr) / (math.log(2) ** 2)))
-    k = max(1, round(m / max(n, 1) * math.log(2)))
+    m, k = _bloom_m_k(n, fpr)
 
     def partial(iterator):
         bf = BloomFilter(m=m, k=k)
@@ -212,8 +279,13 @@ def bloom_semi_join(data: DataFrame, filter_df: DataFrame, keys: list[str],
     (Bloom has no false negatives; false positives are removed by the exact
     join). The scale path when the filter side exceeds broadcast size but
     its Bloom (bits) still fits."""
-    pre = _bloom_prefilter(data, keys, build_bloom(filter_df, keys, fpr), True) \
-        .drop("__bloom_hit")
+    hit = _jvm_bloom_hit_col(data, filter_df, keys, fpr)
+    if hit is not None:
+        pre = data.filter(hit)
+    else:
+        pre = _bloom_prefilter(data, keys,
+                               build_bloom(filter_df, keys, fpr), True) \
+            .drop("__bloom_hit")
     return pre.join(filter_df.select(*keys).dropDuplicates(keys), keys, "left_semi")
 
 
@@ -223,7 +295,12 @@ def bloom_anti_join(data: DataFrame, filter_df: DataFrame, keys: list[str],
     no shuffle at all; only Bloom hits (true members + fpr false positives)
     go through the exact anti-join. Shuffle volume drops from |data| to
     ~|matches| + fpr*|data|."""
-    tagged = _bloom_prefilter(data, keys, build_bloom(filter_df, keys, fpr), False)
+    hit = _jvm_bloom_hit_col(data, filter_df, keys, fpr)
+    if hit is not None:
+        tagged = data.withColumn("__bloom_hit", hit)
+    else:
+        tagged = _bloom_prefilter(data, keys,
+                                  build_bloom(filter_df, keys, fpr), False)
     misses = tagged.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
     hits = tagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
     checked = hits.join(filter_df.select(*keys).dropDuplicates(keys), keys, "left_anti")
