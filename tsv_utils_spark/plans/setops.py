@@ -49,38 +49,41 @@ def theta_pairwise(blobs: DataFrame, group_by: list[str],
     if missing:
         raise ValueError(f"columns {missing} not in blob table "
                          f"{blobs.columns}")
-    # Pair on dense ordinal GROUP IDS, not on the key values: a struct
-    # inequality (keys_a < keys_b) evaluates to NULL for a NULL group
-    # key and every pair involving that group silently vanishes — a
-    # NULL group is a legitimate group and must pair like any other.
-    # The single-partition row_number window runs over the KEYS-ONLY
-    # projection (G tiny rows, never the blobs), so it is not a scale
-    # concern.
-    from pyspark.sql import Window
+    # Pair on a NULL-SAFE strict lexicographic comparison of the key
+    # values themselves (NULLS FIRST per column — the same total order
+    # the former row_number(asc_nulls_first) ordinal encoded, so the
+    # kept pair orientation is identical). A plain struct inequality
+    # (keys_a < keys_b) would evaluate to NULL for a NULL group key and
+    # silently drop every pair involving that group; spelling the
+    # comparison out with isNull/eqNullSafe keeps NULL groups pairing
+    # like any other. r6: this replaces a single-partition row_number
+    # window + gid attach join — no serial point remains at any G, and
+    # the pairing join still sees only the KEYS-ONLY projection (G tiny
+    # rows, never the blobs).
+    keys_only = blobs.select(*group_by)
+    ka = keys_only.select(*[F.col(c).alias(f"{c}_a") for c in group_by])
+    kb = keys_only.select(*[F.col(c).alias(f"{c}_b") for c in group_by])
+    cond = F.lit(False)  # strict lex <, built innermost-column first
+    for c in reversed(group_by):
+        a, b = F.col(f"{c}_a"), F.col(f"{c}_b")
+        lt = (a.isNull() & b.isNotNull()) | (a < b)
+        cond = lt | (a.eqNullSafe(b) & cond)
+    pairs = ka.join(kb, cond)  # G^2 tiny rows
 
-    order = [F.col(c).asc_nulls_first() for c in group_by]
-    keyed = (blobs.select(*group_by)
-             .withColumn("__gid", F.row_number().over(
-                 Window.orderBy(*order))))
-    ka = keyed.select(*[F.col(c).alias(f"{c}_a") for c in group_by],
-                      F.col("__gid").alias("__ga"))
-    kb = keyed.select(*[F.col(c).alias(f"{c}_b") for c in group_by],
-                      F.col("__gid").alias("__gb"))
-    pairs = ka.join(kb, F.col("__ga") < F.col("__gb"))  # G^2 tiny rows
-
-    # attach blobs by gid (int equi-join, NULL-free); the gid rides to
-    # the blob row via a null-safe key join against the tiny id table
-    blob_id = blobs.join(
-        F.broadcast(keyed),
-        [blobs[c].eqNullSafe(keyed[c]) for c in group_by]) \
-        .select(keyed["__gid"], blobs[blob_col].alias("__blob"))
+    # attach blobs per side via null-safe hash EQUI-joins on the keys
+    # (EqualNullSafe plans as an ordinary equi-join — blob bytes move
+    # through shuffles sized by the pair count, never a blob broadcast)
+    ba = blobs.select(*[F.col(c).alias(f"__ka_{c}") for c in group_by],
+                      F.col(blob_col).alias("__ba"))
+    bb = blobs.select(*[F.col(c).alias(f"__kb_{c}") for c in group_by],
+                      F.col(blob_col).alias("__bb"))
     joined = (pairs
-              .join(blob_id.select(F.col("__gid").alias("__ga"),
-                                   F.col("__blob").alias("__ba")),
-                    "__ga")
-              .join(blob_id.select(F.col("__gid").alias("__gb"),
-                                   F.col("__blob").alias("__bb")),
-                    "__gb"))
+              .join(ba, [F.col(f"{c}_a").eqNullSafe(F.col(f"__ka_{c}"))
+                         for c in group_by])
+              .join(bb, [F.col(f"{c}_b").eqNullSafe(F.col(f"__kb_{c}"))
+                         for c in group_by])
+              .drop(*[f"__ka_{c}" for c in group_by],
+                    *[f"__kb_{c}" for c in group_by]))
 
     key_fields = ([joined.schema[f"{c}_a"] for c in group_by]
                   + [joined.schema[f"{c}_b"] for c in group_by])
