@@ -551,6 +551,28 @@ class TestCmWeightedFastPath:
         assert int(by_g["a"][1]) == 50 and by_g["a"][3] == 500
         assert by_g["b"] == ("b", 1.0, "t", 1)
 
+    def test_cm_split_when_blocked_by_kll(self, spark):
+        """A kll spec blocks the pure fast path; the r6 mixed-spec
+        branch must still route cm specs (incl. finalize-only twins)
+        through the weighted pre-agg leg and join them back — results
+        identical to the one-boundary plan, output columns in original
+        spec order."""
+        df = spark.createDataFrame(
+            [("a", i % 50, "s%d" % (i % 4), float(i % 13))
+             for i in range(2000)]
+            + [("b", 1, "t", 2.0), (None, 2, "n", None)],
+            "g string, k int, v string, x double")
+        out = self._ab(df, ["g"], [
+            SketchSpec("hll", "k", "uc"),
+            SketchSpec("cm", "v", "m", {"finalize": "mode"}),
+            SketchSpec("kll", "x", "med", {"quantiles": [0.5]}),
+            SketchSpec("cm", "v", "mc", {"finalize": "mode_count"})])
+        by_g = {r[0]: r for r in out}
+        assert int(by_g["a"][1]) == 50 and by_g["a"][2] == "s0"
+        assert by_g["a"][4] == 500
+        assert by_g["b"][2] == "t" and by_g["b"][4] == 1
+        assert by_g[None][2] == "n"
+
     def test_topk_json(self, spark):
         df = spark.createDataFrame(
             [("a", "s%d" % (i % 4)) for i in range(2000)],
