@@ -198,3 +198,97 @@ def test_interpolation_formula_matches_spark(spark):
     expect = (4.0 - 3.96) * 10.0 + (3.96 - 3.0) * 100.5
     assert math.isclose(got[("a",)][PROBS.index(0.99)], expect,
                         rel_tol=0, abs_tol=0)
+
+
+class TestFusedSelection:
+    """The r6 fused 2-pass path (containing bounds from parquet footers
+    or the caller) must stay bit-identical to F.percentile — including
+    under deliberately WRONG bounds, because clamped bin ids plus exact
+    value-count resolution make bound quality a pure efficiency knob."""
+
+    def _parquet(self, spark, tmp_path, rows, schema):
+        p = str(tmp_path / "t.parquet")
+        spark.createDataFrame(rows, schema).write.mode("overwrite") \
+            .parquet(p)
+        return spark.read.parquet(p)
+
+    def _sel(self, df, keys, probs=PROBS, **kw):
+        out = selection_quantiles(
+            df, keys, [F.col("v").try_cast("double")], [probs],
+            [[f"q{j}" for j in range(len(probs))]], **kw)
+        if out is None:
+            return None
+        return {tuple(r[k] for k in keys): [r[f"q{j}"]
+                                            for j in range(len(probs))]
+                for r in out.collect()}
+
+    def test_footer_bounds_grouped_continuous(self, spark, tmp_path):
+        rng = random.Random(7)
+        rows = [(rng.choice("abc"), rng.gauss(0, 1000))
+                for _ in range(20000)]
+        rows += [("d", None)] * 30 + [(None, 5.0), (None, 7.5)]
+        df = self._parquet(spark, tmp_path, rows, "k string, v double")
+        from tsv_utils_spark.plans.quantiles import parquet_footer_bounds
+
+        assert parquet_footer_bounds(df, ["v"]) is not None
+        ref = _percentile_ref(df, ["k"], "v", PROBS)
+        got = self._sel(df, ["k"], source_cols=["v"])
+        assert got is not None
+        _assert_bit_equal(ref, got)
+
+    def test_wrong_bounds_still_exact(self, spark, tmp_path):
+        rng = random.Random(13)
+        rows = [(rng.choice("ab"), rng.uniform(-500, 500))
+                for _ in range(15000)]
+        df = self._parquet(spark, tmp_path, rows, "k string, v double")
+        ref = _percentile_ref(df, ["k"], "v", PROBS)
+        for bounds in [(-1.0, 1.0),       # far too narrow
+                       (9000.0, 9999.0),  # disjoint from the data
+                       (0.0, 0.0)]:       # degenerate single point
+            got = self._sel(df, ["k"], bounds_per_col=[bounds])
+            assert got is not None, bounds
+            _assert_bit_equal(ref, got)
+
+    def test_discrete_resolves_in_one_pass(self, spark, tmp_path):
+        rows = [(float(i % 13),) for i in range(30000)]
+        df = self._parquet(spark, tmp_path, rows, "v double")
+        ref = _percentile_ref(df, [], "v", PROBS)
+        got = self._sel(df, [], source_cols=["v"])
+        assert got is not None
+        _assert_bit_equal(ref, got)
+
+    def test_nan_and_negzero_fall_back(self, spark, tmp_path):
+        dfn = self._parquet(spark, tmp_path,
+                            [("a", 1.0), ("a", float("nan"))],
+                            "k string, v double")
+        assert self._sel(dfn, ["k"], source_cols=["v"]) is None
+        dfz = self._parquet(spark, tmp_path,
+                            [("a", -0.0), ("a", 0.0), ("a", 1.0)],
+                            "k string, v double")
+        assert self._sel(dfz, ["k"], source_cols=["v"]) is None
+
+    def test_midsize_groups_join_attach(self, spark, tmp_path):
+        rng = random.Random(23)
+        rows = [(f"g{i % 100:03d}", rng.gauss(0, 50))
+                for i in range(40000)]
+        df = self._parquet(spark, tmp_path, rows, "k string, v double")
+        probs = [0.1, 0.5, 0.9]
+        ref = _percentile_ref(df, ["k"], "v", probs)
+        got = self._sel(df, ["k"], probs=probs, source_cols=["v"])
+        assert got is not None
+        _assert_bit_equal(ref, got)
+
+    def test_summarize_quantiles_and_mad_use_fused(self, spark, tmp_path):
+        """End-to-end through summarize on a parquet-backed table:
+        quantile_algo='selection' (fused via footers) == 'percentile'."""
+        rng = random.Random(29)
+        rows = [(rng.choice("xyz"), rng.gauss(100, 42))
+                for _ in range(25000)]
+        df = self._parquet(spark, tmp_path, rows, "k string, v double")
+        ops = [Op.quantile("v", [0.25, 0.99], header="q"),
+               Op.median("v", header="med"), Op.mad("v", header="mad")]
+        a = summarize(df, ["k"], ops, quantile_algo="percentile") \
+            .orderBy("k").collect()
+        b = summarize(df, ["k"], ops, quantile_algo="selection") \
+            .orderBy("k").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]

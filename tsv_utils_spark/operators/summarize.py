@@ -388,9 +388,11 @@ def _mad_selection(df: DataFrame, group_by: list[str], ops: list[Op],
         if sz is None or sz < MIN_INPUT_BYTES:
             return None
     vals = [missing.apply(F.col(op.col)).try_cast("double") for op in ops]
+    src = [op.col for op in ops]
     meds = selection_quantiles(df, group_by, vals,
                                [[0.5]] * len(ops),
-                               [[f"__m_{i}"] for i in range(len(ops))])
+                               [[f"__m_{i}"] for i in range(len(ops))],
+                               source_cols=src)
     if meds is None:
         return None
     med_rows = meds.collect()
@@ -414,9 +416,21 @@ def _mad_selection(df: DataFrame, group_by: list[str], ops: list[Op],
             chain = F.when(group_cond(r), m) if chain is None \
                 else chain.when(group_cond(r), m)
         dev_cols.append(F.abs(vals[i] - chain))
+    # containing bounds for |v - med|: [0, file_hi - file_lo] from the
+    # raw columns' footer stats (bounds need not be tight — the fused
+    # pass clamps; see parquet_footer_bounds) — keeps the dev round on
+    # the 2-pass shape too. Unavailable footers -> 3-pass as before.
+    from tsv_utils_spark.plans.quantiles import parquet_footer_bounds
+
+    fb = parquet_footer_bounds(df, list(dict.fromkeys(op.col for op in ops)))
+    dev_bounds = None
+    if fb is not None:
+        dev_bounds = [(0.0, max(0.0, fb[op.col][1] - fb[op.col][0]))
+                      for op in ops]
     return selection_quantiles(df, group_by, dev_cols,
                                [[0.5]] * len(ops),
-                               [[op.out_name()] for op in ops])
+                               [[op.out_name()] for op in ops],
+                               bounds_per_col=dev_bounds)
 
 
 def _try_selection_quantiles(df: DataFrame, group_by: list[str],
@@ -447,7 +461,7 @@ def _try_selection_quantiles(df: DataFrame, group_by: list[str],
     tmp_names = [[f"__q_{i}_{j}" for j in range(len(col_probs[c]))]
                  for i, c in enumerate(cols)]
     sel = selection_quantiles(df, group_by, value_cols, probs_per_col,
-                              tmp_names)
+                              tmp_names, source_cols=cols)
     if sel is None:
         return None
     exprs = []
