@@ -154,8 +154,8 @@ def _bloom_m_k(n: int, fpr: float) -> tuple[int, int]:
 _JVM_BLOOM_MAX_BYTES = 32 << 20
 
 
-def _jvm_bloom_hit_col(data: DataFrame, filter_df: DataFrame,
-                       keys: list[str], fpr: float):
+def _jvm_bloom_hit_col(filter_df: DataFrame, keys: list[str],
+                       fpr: float):
     """Boolean membership Column via Spark's NATIVE bloom expressions:
     ``bloom_filter_agg`` builds the filter in one JVM aggregate job
     (map-side partials, no Python boundary, blob collected once) and
@@ -279,7 +279,7 @@ def bloom_semi_join(data: DataFrame, filter_df: DataFrame, keys: list[str],
     (Bloom has no false negatives; false positives are removed by the exact
     join). The scale path when the filter side exceeds broadcast size but
     its Bloom (bits) still fits."""
-    hit = _jvm_bloom_hit_col(data, filter_df, keys, fpr)
+    hit = _jvm_bloom_hit_col(filter_df, keys, fpr)
     if hit is not None:
         pre = data.filter(hit)
     else:
@@ -295,7 +295,7 @@ def bloom_anti_join(data: DataFrame, filter_df: DataFrame, keys: list[str],
     no shuffle at all; only Bloom hits (true members + fpr false positives)
     go through the exact anti-join. Shuffle volume drops from |data| to
     ~|matches| + fpr*|data|."""
-    hit = _jvm_bloom_hit_col(data, filter_df, keys, fpr)
+    hit = _jvm_bloom_hit_col(filter_df, keys, fpr)
     if hit is not None:
         tagged = data.withColumn("__bloom_hit", hit)
     else:
