@@ -26,6 +26,14 @@ values present, more than ``max_groups`` groups, pathological value
 piling that keeps a candidate bin over ``collect_cap`` distinct rows.
 Binning uses only monotone IEEE ops (subtract, divide by positive,
 floor), so bin order always agrees with value order.
+
+r6 fused variant: when CONTAINING bounds are free — parquet footer
+statistics of the source columns (``parquet_footer_bounds``) or
+caller-supplied ``bounds_per_col`` — pass 1 disappears: the histogram
+pass itself discovers the groups, derives counts from bin-count sums,
+and detects NaN/±inf/-0.0 via reserved bin ids (out-of-range values
+clamp monotonically into edge bins, so bound quality affects only bin
+resolution, never the result). 2 scans, 1 for fully discrete columns.
 """
 
 from __future__ import annotations
