@@ -551,12 +551,14 @@ class TestCmWeightedFastPath:
         assert int(by_g["a"][1]) == 50 and by_g["a"][3] == 500
         assert by_g["b"] == ("b", 1.0, "t", 1)
 
-    def test_cm_split_when_blocked_by_kll(self, spark):
-        """A kll spec blocks the pure fast path; the r6 mixed-spec
-        branch must still route cm specs (incl. finalize-only twins)
-        through the weighted pre-agg leg and join them back — results
-        identical to the one-boundary plan, output columns in original
-        spec order."""
+    def test_blocked_mixed_cm_twins_equal_across_gate(self, spark):
+        """kll blocks every fast path, so a blocked mixed call must
+        take the same single-boundary plan on both sides of the size
+        gate with identical results — this is the shape on which the
+        per-cm split experiment was measured and REJECTED (it tanked
+        4-executor scaling at high group cardinality; see the NOTE in
+        plans/agg.py), so this pins that twins/canon-map finalization
+        stays correct and gate-independent here."""
         df = spark.createDataFrame(
             [("a", i % 50, "s%d" % (i % 4), float(i % 13))
              for i in range(2000)]

@@ -434,47 +434,15 @@ def sketch_agg(df: DataFrame,
                              for name, _t2 in s.output_fields()]
                 return out.select(*group_by, *out_names)
 
-    # ---- mixed-spec cm split (r6) -------------------------------------
-    # When a non-prefilterable spec (kll/tdigest/bloom) blocks the pure
-    # fast path above, cm specs still benefit from the weighted
-    # (keys, value) -> count pre-aggregation: each cm leg ships
-    # |distinct pairs| rows and the remaining combined boundary drops
-    # the cm input column entirely. hll/theta legs are deliberately NOT
-    # split out here: their dropDuplicates prefilter is a pure loss when
-    # the hashed column is near-unique (measured on a 6M-row mixed call
-    # with distinct==rows: +35%), while the cm pre-agg is a map-side-
-    # combined codegen hash agg that stays cheap even degenerate.
-    # Estimates are identical: weighted == unweighted cm is pytest-
-    # pinned, and the remaining specs' update stream is unchanged (same
-    # scan partitioning, same values, narrower projection).
-    if (mode == "map" and not include_rows and group_by
-            and any(s.op == "cm" for s in canon)
-            and any(s.op not in ("hll", "theta", "cm") for s in canon)):
-        from tsv_utils_spark.plans.quantiles import (
-            MIN_INPUT_BYTES,
-            input_size_bytes,
-        )
-
-        sz = input_size_bytes(df)
-        if sz is not None and sz >= MIN_INPUT_BYTES:
-            from tsv_utils_spark.functions.joins import join_null_safe
-
-            by_canon: dict[int, list[SketchSpec]] = {}
-            for i, s in enumerate(specs):
-                by_canon.setdefault(cmap[i], []).append(s)
-            rest_specs = [s for i, s in enumerate(specs)
-                          if canon[cmap[i]].op != "cm"]
-            out = sketch_agg(df, group_by, rest_specs, mode="map",
-                             max_groups_per_partition=max_groups_per_partition)
-            for j in sorted(j for j in by_canon if canon[j].op == "cm"):
-                out = join_null_safe(
-                    out,
-                    sketch_agg(df, group_by, by_canon[j], mode="map",
-                               max_groups_per_partition=max_groups_per_partition),
-                    group_by)
-            out_names = [name for s in specs
-                         for name, _t2 in s.output_fields()]
-            return out.select(*group_by, *out_names)
+    # NOTE (r6): splitting cm specs out of kll/tdigest/bloom-BLOCKED
+    # mixed calls (per-cm weighted pre-agg legs joined back on the
+    # keys) was built and measured BOTH ways: −12% on low-cardinality
+    # group keys (3-6 groups), but 2.2x SLOWER at 4 executors on a
+    # high-cardinality key (Zipf repos at 24M rows: second boundary +
+    # second per-group merge + a join all scale with |groups|), tanking
+    # N→4N efficiency 0.84 → 0.41. Group cardinality is unknowable at
+    # plan time, so blocked mixed calls keep the single shared
+    # boundary; only the all-prefilterable paths above split.
 
     proj = df.select(*group_by, *in_cols)
     partial_schema = _partial_schema(df, group_by, len(canon))
